@@ -351,6 +351,20 @@ def inner_product(level: int, a, b, axis: int = -1):
     return xor_reduce(p, axis)
 
 
+def _jit_static0(fn):
+    return functools.partial(jax.jit, static_argnums=0)(fn)
+
+
+# Jit the hot ops (static tower level). Python-level recursion resolves
+# through these module globals, so each tower level compiles exactly once per
+# shape and lands in the persistent compilation cache.
+mul = _jit_static0(mul)
+square = _jit_static0(square)
+invert = _jit_static0(invert)
+mul_alpha = _jit_static0(mul_alpha)
+inner_product = jax.jit(inner_product, static_argnums=(0, 3), static_argnames=("axis",))
+
+
 def apply_bitmatrix(level: int, cols, x):
     """Apply an F2 linear map (list of int column masks, one per input bit)
     to a batch of T_level elements. Used for basis isomorphisms

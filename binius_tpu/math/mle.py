@@ -1,0 +1,115 @@
+"""Multilinear extensions over the boolean hypercube (TPU layer).
+
+Semantics mirror the reference's `crates/math/src/multilinear_extension.rs` and
+`multilinear_query.rs`: an n-variate multilinear polynomial is stored as its
+2^n hypercube evaluations, index bit i = variable i (variable 0 is the LSB).
+
+All heavy ops are pure-array functions (jit-friendly); :class:`MLE` is a thin
+metadata wrapper used by host orchestration code.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..fields import tower
+
+
+@dataclasses.dataclass(frozen=True)
+class MLE:
+    """Multilinear extension: 2^n_vars evaluations of a T_level polynomial."""
+
+    data: object  # jax array in canonical layout for `level`
+    level: int
+    n_vars: int
+
+    def __post_init__(self):
+        expect = tower.elem_shape(self.level, (1 << self.n_vars,))
+        assert tuple(self.data.shape) == expect, (self.data.shape, expect)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def eq_ind_partial_eval(level: int, point):
+    """Tensor-product eq-indicator expansion of a query point.
+
+    ``point`` is a T_level element array of shape (k,) (+ limbs); the result E
+    has 2^k entries with E[j] = prod_i (j_i ? r_i : 1 + r_i).  Matches
+    `MultilinearQuery::expand` / `tensor_prod_eq_ind`
+    (`crates/math/src/tensor_prod_eq_ind.rs`).
+    """
+    k = tower.batch_shape(level, point)[0]
+    e = tower.full(level, (1,), 1)
+    one = tower.full(level, (), 1)
+    for i in range(k):
+        r = point[i]
+        e0 = tower.mul(level, e, tower.add(level, one, r))
+        e1 = tower.mul(level, e, r)
+        e = jnp.concatenate([e0, e1], axis=0)
+    return e
+
+
+def _promote(level_a: int, a, level_b: int, b):
+    """Embed the lower-level operand; returns (level, a, b)."""
+    if level_a == level_b:
+        return level_a, a, b
+    if level_a < level_b:
+        return level_b, tower.embed(level_a, level_b, a), b
+    return level_a, a, tower.embed(level_b, level_a, b)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 5))
+def _partial_low_data(level: int, data, n_vars: int, q_level: int, q_expansion, k: int):
+    out_level, d, e = _promote(level, data, q_level, q_expansion)
+    d = d.reshape(tower.elem_shape(out_level, (1 << (n_vars - k), 1 << k)))
+    return tower.inner_product(out_level, d, e, axis=1)
+
+
+def evaluate_partial_low(level: int, data, n_vars: int, q_level: int, q_expansion, k: int):
+    """Bind the k lowest variables to a query (given as its eq expansion).
+
+    out[j] = sum_{i < 2^k} E[i] * data[(j << k) | i].
+    Returns (out_level, out_data) with 2^(n_vars-k) entries.
+    """
+    return max(level, q_level), _partial_low_data(level, data, n_vars, q_level, q_expansion, k)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 5))
+def _partial_high_data(level: int, data, n_vars: int, q_level: int, q_expansion, k: int):
+    out_level, d, e = _promote(level, data, q_level, q_expansion)
+    d = d.reshape(tower.elem_shape(out_level, (1 << k, 1 << (n_vars - k))))
+    if tower.has_limb_dim(out_level):
+        e = e[:, None, :]
+    else:
+        e = e[:, None]
+    return tower.inner_product(out_level, d, e, axis=0)
+
+
+def evaluate_partial_high(level: int, data, n_vars: int, q_level: int, q_expansion, k: int):
+    """Bind the k highest variables: out[i] = sum_j E[j] * data[(j << (n-k)) | i]."""
+    return max(level, q_level), _partial_high_data(level, data, n_vars, q_level, q_expansion, k)
+
+
+def evaluate(level: int, data, n_vars: int, q_level: int, point):
+    """Full evaluation at a point of shape (n_vars,)."""
+    e = eq_ind_partial_eval(q_level, point)
+    out_level, out = evaluate_partial_low(level, data, n_vars, q_level, e, n_vars)
+    return out_level, out[0] if not tower.has_limb_dim(out_level) else out[0, :]
+
+
+def eq_ind(level: int, x, y):
+    """eq(x, y) = prod_i (x_i y_i + (1+x_i)(1+y_i)) for points of shape (k,)."""
+    one = tower.full(level, (), 1)
+    t = tower.add(
+        level,
+        tower.mul(level, x, y),
+        tower.mul(level, tower.add(level, x, one), tower.add(level, y, one)),
+    )
+    k = tower.batch_shape(level, t)[0]
+    out = tower.full(level, (), 1)
+    for i in range(k):
+        out = tower.mul(level, out, t[i])
+    return out

@@ -1,18 +1,20 @@
-"""Test configuration: run everything on a virtual 8-device CPU mesh.
+"""Test configuration: hermetic virtual 8-device CPU mesh.
 
-Must set the env vars before the first `import jax` anywhere in the test
-process, so this lives at the top of conftest and tests import jax lazily.
+The container's sitecustomize imports jax at interpreter startup with
+JAX_PLATFORMS=axon (remote-TPU tunnel plugin), so setting env vars here is too
+late — instead switch the platform via jax.config post-import. XLA_FLAGS still
+takes effect because the CPU backend has not been initialized yet.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
-import jax  # noqa: E402
+import jax  # noqa: E402  (already imported by sitecustomize; this is a no-op)
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_traceback_filtering", "off")
 jax.config.update("jax_compilation_cache_dir", "/tmp/binius_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
