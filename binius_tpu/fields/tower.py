@@ -65,6 +65,22 @@ def full(level: int, shape: tuple[int, ...], value: int):
     return jnp.full(shape, np.uint32(value), dtype=U32)
 
 
+def from_numpy(level: int, arr: np.ndarray) -> jax.Array:
+    """Vectorized numpy -> canonical device layout.
+
+    Accepts uint32 (level<=5), uint64 (level<=6), or (..., n_limbs) uint32.
+    """
+    arr = np.asarray(arr)
+    if level <= 5:
+        return jnp.asarray(arr.astype(np.uint32))
+    k = n_limbs(level)
+    if arr.dtype == np.uint64 and level == 6:
+        out = np.stack([(arr & 0xFFFFFFFF).astype(np.uint32), (arr >> 32).astype(np.uint32)], axis=-1)
+        return jnp.asarray(out)
+    assert arr.shape[-1] == k and arr.dtype == np.uint32, (arr.shape, arr.dtype)
+    return jnp.asarray(arr)
+
+
 def from_ints(level: int, values) -> jax.Array:
     """Python ints / iterables -> device array in canonical layout."""
     vals = list(values)
