@@ -1,0 +1,217 @@
+"""Grøstl-256 hash (standard, per the final Grøstl SHA-3 submission spec).
+
+The reference uses Grøstl-256 as its transcript challenger and Merkle hash
+(`crates/hash/src/groestl/`, tested there against the `groestl_crypto` crate).
+This is a from-spec implementation:
+
+  * 512-bit state as an 8x8 byte matrix filled column-wise,
+  * 10 rounds of AddRoundConstant / SubBytes (AES S-box) / ShiftBytes /
+    MixBytes (circulant matrix over GF(2^8)/0x11B),
+  * compression f(h, m) = P(h^m) ^ Q(m) ^ h, output trunc_256(P(h) ^ h).
+
+All functions are written against an array-module parameter `xp` so the same
+code runs vectorized on host numpy (transcript) and as jnp on TPU (batched
+Merkle leaf hashing, the analog of `Groestl256Parallel`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+ROUNDS = 10
+ROWS = 8
+COLS = 8  # 512-bit state
+
+# P shifts row i left by i; Q shifts by the spec's sigma_Q.
+SHIFTS_P = (0, 1, 2, 3, 4, 5, 6, 7)
+SHIFTS_Q = (1, 3, 5, 7, 0, 2, 4, 6)
+
+# MixBytes circulant: B[i][j] = MIX[(j - i) % 8]
+MIX = (2, 2, 3, 4, 5, 3, 5, 7)
+
+
+def _gf_mul(a: int, b: int) -> int:
+    """GF(2^8) multiply modulo the AES polynomial x^8+x^4+x^3+x+1 (0x11B)."""
+    r = 0
+    while b:
+        if b & 1:
+            r ^= a
+        a <<= 1
+        if a & 0x100:
+            a ^= 0x11B
+        b >>= 1
+    return r
+
+
+@functools.lru_cache(maxsize=None)
+def aes_sbox() -> np.ndarray:
+    """AES S-box generated from first principles (inverse + affine map)."""
+    inv = [0] * 256
+    for x in range(1, 256):
+        for y in range(1, 256):
+            if _gf_mul(x, y) == 1:
+                inv[x] = y
+                break
+    table = np.zeros(256, dtype=np.uint8)
+    for x in range(256):
+        b = inv[x]
+        s = 0
+        for i in range(8):
+            bit = ((b >> i) ^ (b >> ((i + 4) % 8)) ^ (b >> ((i + 5) % 8))
+                   ^ (b >> ((i + 6) % 8)) ^ (b >> ((i + 7) % 8)) ^ (0x63 >> i)) & 1
+            s |= bit << i
+        table[x] = s
+    assert table[0] == 0x63 and table[1] == 0x7C and table[0x53] == 0xED
+    return table
+
+
+@functools.lru_cache(maxsize=None)
+def gf_mul_table() -> np.ndarray:
+    """mul_table[c][x] = c * x in GF(2^8)/0x11B for the MixBytes constants."""
+    t = np.zeros((8, 256), dtype=np.uint8)
+    for c in range(8):
+        for x in range(256):
+            t[c, x] = _gf_mul(c, x)
+    return t
+
+
+def bytes_to_state(data: np.ndarray) -> np.ndarray:
+    """(..., 64) uint8 -> (..., 8, 8) state[row, col], filled column-wise."""
+    return data.reshape(*data.shape[:-1], COLS, ROWS).swapaxes(-1, -2)
+
+
+def state_to_bytes(state: np.ndarray) -> np.ndarray:
+    return state.swapaxes(-1, -2).reshape(*state.shape[:-2], 64)
+
+
+def _round_p_const(r: int) -> np.ndarray:
+    c = np.zeros((ROWS, COLS), dtype=np.uint8)
+    c[0, :] = (np.arange(COLS, dtype=np.uint8) << 4) ^ np.uint8(r)
+    return c
+
+
+def _round_q_const(r: int) -> np.ndarray:
+    c = np.full((ROWS, COLS), 0xFF, dtype=np.uint8)
+    c[ROWS - 1, :] ^= (np.arange(COLS, dtype=np.uint8) << 4) ^ np.uint8(r)
+    return c
+
+
+@functools.lru_cache(maxsize=None)
+def _consts() -> tuple[np.ndarray, np.ndarray]:
+    p = np.stack([_round_p_const(r) for r in range(ROUNDS)])
+    q = np.stack([_round_q_const(r) for r in range(ROUNDS)])
+    return p, q
+
+
+def _permute(state, is_q: bool, xp=np):
+    """Apply P or Q to (..., 8, 8) state using array module xp."""
+    sbox = aes_sbox()
+    mul = gf_mul_table()
+    pc, qc = _consts()
+    consts = qc if is_q else pc
+    shifts = SHIFTS_Q if is_q else SHIFTS_P
+    if xp is not np:
+        sbox = xp.asarray(sbox)
+        mul = xp.asarray(mul)
+        consts = xp.asarray(consts)
+    for r in range(ROUNDS):
+        state = state ^ consts[r]
+        state = xp.take(sbox, state.astype(xp.int32) if xp is not np else state, axis=0)
+        # ShiftBytes: row i rotates left by shifts[i]
+        rows = [xp.roll(state[..., i, :], -shifts[i], axis=-1) for i in range(ROWS)]
+        state = xp.stack(rows, axis=-2)
+        # MixBytes: out[i] = sum_j MIX[(j - i) % 8] * state[j]
+        acc = None
+        for i_off in range(ROWS):
+            # contribution of state row j to out row i where (j - i) % 8 == i_off
+            coeff = MIX[i_off]
+            mrow = mul[coeff]
+            mapped = xp.take(mrow, state.astype(xp.int32) if xp is not np else state, axis=0)
+            # out[i] += mapped[(i + i_off) % 8]
+            shifted = xp.roll(mapped, -i_off, axis=-2)
+            acc = shifted if acc is None else acc ^ shifted
+        state = acc
+    return state
+
+
+def compress(h: np.ndarray, m: np.ndarray, xp=np) -> np.ndarray:
+    """f(h, m) = P(h ^ m) ^ Q(m) ^ h on (..., 8, 8) states."""
+    return _permute(h ^ m, False, xp) ^ _permute(m, True, xp) ^ h
+
+
+def output_transform(h: np.ndarray, xp=np) -> np.ndarray:
+    """Omega(h): trunc_256(P(h) ^ h) -> (..., 32) bytes."""
+    x = _permute(h, False, xp) ^ h
+    return state_to_bytes(x)[..., 32:]
+
+
+IV_256 = np.zeros(64, dtype=np.uint8)
+IV_256[62] = 0x01  # 512-bit big-endian encoding of 256
+
+
+def groestl256_pad(n_bytes: int) -> np.ndarray:
+    """Padding suffix for an n_bytes message: 0x80, zeros, 64-bit BE block count."""
+    blocks = (n_bytes + 8) // 64 + 1
+    pad_len = blocks * 64 - n_bytes
+    pad = np.zeros(pad_len, dtype=np.uint8)
+    pad[0] = 0x80
+    pad[-8:] = np.frombuffer(np.uint64(blocks).byteswap().tobytes(), dtype=np.uint8)
+    return pad
+
+
+def groestl256(data: bytes) -> bytes:
+    """One-shot Grøstl-256 digest (host)."""
+    msg = np.frombuffer(data, dtype=np.uint8)
+    msg = np.concatenate([msg, groestl256_pad(len(msg))])
+    h = bytes_to_state(IV_256.copy())
+    for i in range(len(msg) // 64):
+        m = bytes_to_state(msg[i * 64:(i + 1) * 64])
+        h = compress(h, m)
+    return output_transform(h).tobytes()
+
+
+class Groestl256:
+    """Streaming Grøstl-256 (digest-style API used by the transcript)."""
+
+    def __init__(self):
+        self._buf = bytearray()
+        self._h = bytes_to_state(IV_256.copy())
+        self._n_bytes = 0
+
+    def update(self, data: bytes) -> "Groestl256":
+        self._buf.extend(data)
+        self._n_bytes += len(data)
+        while len(self._buf) >= 64:
+            m = bytes_to_state(np.frombuffer(bytes(self._buf[:64]), dtype=np.uint8))
+            self._h = compress(self._h, m)
+            del self._buf[:64]
+        return self
+
+    def copy(self) -> "Groestl256":
+        c = Groestl256.__new__(Groestl256)
+        c._buf = bytearray(self._buf)
+        c._h = self._h.copy()
+        c._n_bytes = self._n_bytes
+        return c
+
+    def finalize(self) -> bytes:
+        tail = np.frombuffer(bytes(self._buf), dtype=np.uint8)
+        msg = np.concatenate([tail, groestl256_pad(self._n_bytes)])
+        h = self._h.copy()
+        for i in range(len(msg) // 64):
+            m = bytes_to_state(msg[i * 64:(i + 1) * 64])
+            h = compress(h, m)
+        return output_transform(h).tobytes()
+
+
+def compress_pairs(pairs: np.ndarray, xp=np) -> np.ndarray:
+    """2-to-1 Merkle compression: (..., 64) bytes -> (..., 32) bytes.
+
+    The Grøstl output transformation applied to the concatenated digests:
+    trunc_256(P(a||b) ^ (a||b)) — exactly `Groestl256ByteCompression`
+    (`crates/hash/src/groestl/compression.rs:24-36`, Matyas-Meyer-Oseas).
+    """
+    m = bytes_to_state(pairs)
+    return state_to_bytes(_permute(m, False, xp) ^ m)[..., 32:]

@@ -1,0 +1,84 @@
+"""Binary Merkle tree vector commitment over Grøstl-256.
+
+TPU-native counterpart of `crates/core/src/merkle_tree/` (BinaryMerkleTreeScheme
++ prover): leaves are byte blobs (canonically serialized field elements),
+hashed with Grøstl-256; internal nodes use the output-transform 2-to-1
+compression. Leaf hashing and level reduction are batch-vectorized (numpy on
+host; the same code path can run as jnp for device builds).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..hash.groestl import bytes_to_state, compress, compress_pairs, groestl256_pad, output_transform, IV_256
+
+
+def hash_leaves(blobs: np.ndarray) -> np.ndarray:
+    """Grøstl-256 digest of each row: (N, L) uint8 -> (N, 32) uint8."""
+    n, length = blobs.shape
+    pad = groestl256_pad(length)
+    msg = np.concatenate([blobs, np.broadcast_to(pad, (n, len(pad)))], axis=1)
+    h = np.broadcast_to(bytes_to_state(IV_256), (n, 8, 8)).copy()
+    for i in range(msg.shape[1] // 64):
+        m = bytes_to_state(msg[:, i * 64:(i + 1) * 64])
+        h = compress(h, m)
+    return output_transform(h)
+
+
+@dataclasses.dataclass
+class MerkleTree:
+    """All layers, layer[0] = leaf digests (N, 32) ... layer[d] = root (1, 32)."""
+
+    layers: list
+
+    @staticmethod
+    def build(leaf_digests: np.ndarray) -> "MerkleTree":
+        assert leaf_digests.ndim == 2 and leaf_digests.shape[1] == 32
+        n = leaf_digests.shape[0]
+        assert n & (n - 1) == 0, "leaf count must be a power of two"
+        layers = [leaf_digests]
+        cur = leaf_digests
+        while cur.shape[0] > 1:
+            cur = compress_pairs(cur.reshape(-1, 64))
+            layers.append(cur)
+        return MerkleTree(layers)
+
+    @property
+    def root(self) -> bytes:
+        return self.layers[-1][0].tobytes()
+
+    @property
+    def depth(self) -> int:
+        return len(self.layers) - 1
+
+    def branch(self, index: int, to_layer: int = None) -> list[bytes]:
+        """Sibling digests from the leaf up (exclusive of `to_layer`, default root)."""
+        d = self.depth if to_layer is None else to_layer
+        out = []
+        for k in range(d):
+            out.append(self.layers[k][(index >> k) ^ 1].tobytes())
+        return out
+
+
+def verify_branch(root: bytes, index: int, leaf_digest: bytes, branch: list[bytes]) -> bool:
+    cur = np.frombuffer(leaf_digest, dtype=np.uint8)
+    for k, sib in enumerate(branch):
+        s = np.frombuffer(sib, dtype=np.uint8)
+        pair = np.concatenate([cur, s] if ((index >> k) & 1) == 0 else [s, cur])
+        cur = compress_pairs(pair[None, :])[0]
+    return cur.tobytes() == root
+
+
+def verify_branch_to_layer(layer: np.ndarray, index: int, leaf_digest: bytes,
+                           branch: list[bytes]) -> bool:
+    """Verify against a cached internal layer (the reference's optimal
+    verification layer, `merkle_tree/scheme.rs:48-50`)."""
+    cur = np.frombuffer(leaf_digest, dtype=np.uint8)
+    for k, sib in enumerate(branch):
+        s = np.frombuffer(sib, dtype=np.uint8)
+        pair = np.concatenate([cur, s] if ((index >> k) & 1) == 0 else [s, cur])
+        cur = compress_pairs(pair[None, :])[0]
+    return cur.tobytes() == layer[index >> len(branch)].tobytes()
