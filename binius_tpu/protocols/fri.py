@@ -1,0 +1,492 @@
+"""FRI over interleaved Reed-Solomon codewords (DP24, FRI-Binius).
+
+Structure mirrors `crates/core/src/protocols/fri/` and `crates/ntt/src/fri.rs`:
+
+  * `FRIParams` — code + arity schedule + query count (`fri/common.rs:17`);
+  * `rs_encode` — interleaved RS encoding = repeat message 2^log_inv_rate
+    times, forward additive-NTT with skip_rounds = log_inv_rate
+    (`reed_solomon/reed_solomon.rs:104-160`);
+  * `fold_interleaved` — device kernel: collapse the interleaved batch with
+    the eq tensor, then per challenge peel one inverse-NTT stage fused with a
+    random linear fold (`ntt/fri.rs:28-175`);
+  * `FRIFolder` / `fri_finish_proof` — prover round loop: accumulate
+    challenges, fold + Merkle-commit at arity boundaries, write terminate
+    codeword + optimal layers + query openings (`fri/prove.rs:219-608`);
+  * `FRIVerifier` — host verification: terminate-codeword repetition check,
+    layer checks, per-query fold consistency (`fri/verify.rs:99-360`).
+
+The FRI field layout: data in B128 (level 7), twiddles in FEncode = B32
+(level 5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import scalar, tower
+from ..math import mle
+from ..merkle.tree import MerkleTree, hash_leaves, verify_branch_to_layer
+from ..ntt.additive_ntt import AdditiveNTT, NTTDomain
+from ..transcript import serialization as ser
+
+LEVEL = 7       # codeword field (B128)
+ENC_LEVEL = 5   # FEncode (B32) — twiddle field
+
+
+# ---------------------------------------------------------------------------
+# Parameters
+# ---------------------------------------------------------------------------
+
+def calculate_n_test_queries(security_bits: int, log_dim: int, log_inv_rate: int) -> int:
+    """`fri/common.rs:199-224` semantics."""
+    field_size = 2.0 ** 128
+    sumcheck_err = (2 * log_dim) / field_size
+    folding_err = (1 << (log_dim + log_inv_rate)) / field_size
+    per_query_err = 0.5 * (1 + 2.0 ** (-log_inv_rate))
+    allowed = 2.0 ** (-security_bits) - sumcheck_err - folding_err
+    if allowed <= 0:
+        raise ValueError("security level unattainable")
+    return math.ceil(math.log(allowed, per_query_err))
+
+
+def estimate_optimal_arity(log_block_length: int, digest_size: int, field_size: int) -> int:
+    """`fri/common.rs:224-250` proof-size heuristic."""
+    best = None
+    for arity in range(1, log_block_length + 1):
+        est = ((log_block_length // 2 * digest_size + (1 << arity) * field_size)
+               * (log_block_length - arity) // arity)
+        if best is not None and est > best[1]:
+            break
+        best = (arity, est)
+    return best[0] if best else 1
+
+
+@dataclasses.dataclass(frozen=True)
+class FRIParams:
+    log_dim: int
+    log_inv_rate: int
+    log_batch_size: int
+    fold_arities: tuple
+    n_test_queries: int
+
+    @staticmethod
+    def choose_with_constant_fold_arity(log_msg_len: int, security_bits: int,
+                                        log_inv_rate: int, arity: int) -> "FRIParams":
+        assert arity > 0
+        log_dim = max(log_msg_len - arity, 0)
+        log_batch_size = min(log_msg_len, arity)
+        n_q = calculate_n_test_queries(security_bits, log_dim, log_inv_rate)
+        cap_height = (n_q - 1).bit_length()  # log2_ceil
+        n_arities = max(log_msg_len - max(cap_height - log_inv_rate, 0), 0) // arity
+        fold_arities = tuple([arity] * n_arities)
+        return FRIParams(log_dim, log_inv_rate, log_batch_size, fold_arities, n_q)
+
+    @property
+    def log_code_len(self) -> int:
+        """RS code block log-length (without interleaving)."""
+        return self.log_dim + self.log_inv_rate
+
+    @property
+    def log_len(self) -> int:
+        """Log-length of the initial interleaved oracle."""
+        return self.log_code_len + self.log_batch_size
+
+    @property
+    def n_fold_rounds(self) -> int:
+        return self.log_dim + self.log_batch_size
+
+    @property
+    def n_oracles(self) -> int:
+        return len(self.fold_arities)
+
+    @property
+    def index_bits(self) -> int:
+        return self.log_len - self.fold_arities[0] if self.fold_arities else 0
+
+    @property
+    def n_final_challenges(self) -> int:
+        return self.n_fold_rounds - sum(self.fold_arities)
+
+    def ntt_domain(self) -> NTTDomain:
+        return NTTDomain.create(ENC_LEVEL, self.log_code_len)
+
+    def optimal_layer_depth(self, log_n_cosets: int) -> int:
+        """min(log2_ceil(n_queries), tree_depth) (`merkle_tree/scheme.rs:48`)."""
+        lg_q = (self.n_test_queries - 1).bit_length() if self.n_test_queries > 0 else 0
+        return max(min(lg_q, log_n_cosets), 0)
+
+    def vcs_optimal_layers_depths(self) -> list[int]:
+        out = []
+        log_n_cosets = self.log_len
+        for arity in self.fold_arities:
+            log_n_cosets -= arity
+            out.append(self.optimal_layer_depth(log_n_cosets))
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Reed-Solomon encoding (device)
+# ---------------------------------------------------------------------------
+
+def rs_encode(params: FRIParams, message):
+    """Encode the interleaved message (2^(log_dim+log_batch) level-7 elements)
+    into the interleaved codeword (2^log_len elements)."""
+    rep = jnp.concatenate([message] * (1 << params.log_inv_rate), axis=0)
+    ntt = AdditiveNTT(params.ntt_domain())
+    return ntt.forward(rep, LEVEL, (params.log_batch_size, params.log_code_len, 0),
+                       coset=0, coset_bits=0, skip_rounds=params.log_inv_rate)
+
+
+# ---------------------------------------------------------------------------
+# FRI folding (device kernel + host scalar oracle)
+# ---------------------------------------------------------------------------
+
+def _fold_twiddle_arrays(domain: NTTDomain, log_code_len: int, n_folds: int):
+    """Device twiddle vectors for peeling `n_folds` inverse-NTT stages from a
+    codeword of log length `log_code_len`."""
+    ell = domain.log_domain_size
+    tws = []
+    L = log_code_len
+    for _ in range(n_folds):
+        r = ell - L
+        tws.append(domain.twiddles_to_device(domain.stage_twiddles_np(r, L - 1)))
+        L -= 1
+    return tuple(tws)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _fold_interleaved_jit(codeword, log_len: int, log_batch: int, tensor, fold_rs, tws):
+    d = codeword
+    if log_batch:
+        d = d.reshape(tower.elem_shape(LEVEL, (1 << log_len, 1 << log_batch)))
+        d = tower.inner_product(LEVEL, d, tensor, axis=1)
+    L = log_len
+    for r, tw in zip(fold_rs, tws):
+        pairs = d.reshape(tower.elem_shape(LEVEL, (1 << (L - 1), 2)))
+        u = pairs[:, 0] if not tower.has_limb_dim(LEVEL) else pairs[:, 0, :]
+        v = pairs[:, 1] if not tower.has_limb_dim(LEVEL) else pairs[:, 1, :]
+        t = tower.embed(ENC_LEVEL, LEVEL, tw)
+        v2 = tower.add(LEVEL, v, u)
+        u2 = tower.add(LEVEL, u, tower.mul(LEVEL, t, v2))
+        d = tower.add(LEVEL, u2, tower.mul(LEVEL, tower.add(LEVEL, u2, v2), r))
+        L -= 1
+    return d
+
+
+def fold_interleaved(domain: NTTDomain, codeword, challenges: list[int],
+                     log_len: int, log_batch: int):
+    """Device FRI fold; challenges[0:log_batch] collapse the interleaving."""
+    assert len(challenges) >= log_batch
+    inter, folds = challenges[:log_batch], challenges[log_batch:]
+    tensor = (mle.eq_ind_partial_eval(LEVEL, tower.from_ints(LEVEL, inter))
+              if log_batch else tower.zeros(LEVEL, (1,)))
+    tws = _fold_twiddle_arrays(domain, log_len, len(folds))
+    fold_rs = tuple(tower.from_ints(LEVEL, [c])[0] for c in folds)
+    return _fold_interleaved_jit(codeword, log_len, log_batch, tensor, fold_rs, tws)
+
+
+def fold_pair_scalar(domain: NTTDomain, log_len: int, index: int, u: int, v: int, r: int) -> int:
+    t = domain.twiddle(domain.log_domain_size - log_len, index)
+    v2 = v ^ u
+    u2 = u ^ scalar.mul(LEVEL, t, v2)
+    return u2 ^ scalar.mul(LEVEL, u2 ^ v2, r)
+
+
+def fold_chunk_scalar(domain: NTTDomain, log_len: int, chunk_index: int,
+                      values: list[int], challenges: list[int]) -> int:
+    vals = list(values)
+    size = len(challenges)
+    for ch in challenges:
+        nxt = []
+        for i in range(1 << (size - 1)):
+            nxt.append(fold_pair_scalar(domain, log_len, (chunk_index << (size - 1)) | i,
+                                        vals[2 * i], vals[2 * i + 1], ch))
+        vals = nxt
+        log_len -= 1
+        size -= 1
+    return vals[0]
+
+
+def fold_interleaved_chunk_scalar(domain: NTTDomain, log_len: int, log_batch: int,
+                                  chunk_index: int, values: list[int],
+                                  tensor: list[int], challenges: list[int]) -> int:
+    """Host mirror of `fold_interleaved_chunk` (`ntt/fri.rs:178+`)."""
+    n = len(values) >> log_batch
+    collapsed = []
+    for j in range(n):
+        acc = 0
+        for x in range(1 << log_batch):
+            acc ^= scalar.mul(LEVEL, tensor[x], values[(j << log_batch) | x])
+        collapsed.append(acc)
+    return fold_chunk_scalar(domain, log_len, chunk_index, collapsed, challenges)
+
+
+def eq_tensor_scalar_ordered(point: list[int]) -> list[int]:
+    n = len(point)
+    out = []
+    for idx in range(1 << n):
+        acc = 1
+        for i in range(n):
+            acc = scalar.mul(LEVEL, acc, point[i] if (idx >> i) & 1 else point[i] ^ 1)
+        out.append(acc)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Codeword <-> bytes helpers
+# ---------------------------------------------------------------------------
+
+def codeword_to_numpy(codeword) -> np.ndarray:
+    """Device B128 array -> (N, 4) uint32 numpy."""
+    return np.asarray(jax.device_get(codeword))
+
+
+def leaf_blobs(cw_np: np.ndarray, log_coset: int) -> np.ndarray:
+    """Group consecutive 2^log_coset elements into canonical-byte leaf rows."""
+    n = cw_np.shape[0] >> log_coset
+    b = cw_np.astype("<u4").reshape(n, (1 << log_coset) * 16 // 4).view(np.uint8)
+    return np.ascontiguousarray(b)
+
+
+def commit_codeword(cw_np: np.ndarray, log_coset: int) -> MerkleTree:
+    return MerkleTree.build(hash_leaves(leaf_blobs(cw_np, log_coset)))
+
+
+def np_elem_to_int(cw_np: np.ndarray, i: int) -> int:
+    return int(sum(int(x) << (32 * k) for k, x in enumerate(cw_np[i])))
+
+
+# ---------------------------------------------------------------------------
+# Prover
+# ---------------------------------------------------------------------------
+
+class FRIFolder:
+    """FRI fold-phase prover (mirrors `FRIFolder`, `fri/prove.rs:219`)."""
+
+    def __init__(self, params: FRIParams, codeword, codeword_tree: MerkleTree):
+        self.params = params
+        self.domain = params.ntt_domain()
+        self.codeword = codeword                      # device, interleaved
+        self.codeword_np = codeword_to_numpy(codeword)
+        self.trees = [codeword_tree]
+        self.round_codewords_np: list[np.ndarray] = []
+        self.round_codewords_dev = []
+        self.unprocessed: list[int] = []
+        self.curr_round = 0
+        arities = params.fold_arities
+        self.next_commit_round = arities[0] if arities else None
+
+    @property
+    def n_rounds(self) -> int:
+        return self.params.n_fold_rounds
+
+    def execute_fold_round(self, challenge: int):
+        """Returns a commitment root (bytes) on commitment rounds, else None."""
+        self.unprocessed.append(challenge)
+        self.curr_round += 1
+        if self.next_commit_round != self.curr_round:
+            return None
+        p = self.params
+        n_committed = len(self.round_codewords_np)
+        if n_committed:
+            prev = self.round_codewords_dev[-1]
+            log_len = int(np.log2(self.round_codewords_np[-1].shape[0]))
+            folded = fold_interleaved(self.domain, prev, self.unprocessed, log_len, 0)
+        else:
+            folded = fold_interleaved(self.domain, self.codeword, self.unprocessed,
+                                      p.log_code_len, p.log_batch_size)
+        self.unprocessed = []
+        folded_np = codeword_to_numpy(folded)
+        coset_log = (p.fold_arities[n_committed + 1]
+                     if n_committed + 1 < len(p.fold_arities) else p.n_final_challenges)
+        tree = commit_codeword(folded_np, coset_log)
+        self.trees.append(tree)
+        self.round_codewords_np.append(folded_np)
+        self.round_codewords_dev.append(folded)
+        if n_committed + 1 < len(p.fold_arities):
+            self.next_commit_round = self.curr_round + p.fold_arities[n_committed + 1]
+        else:
+            self.next_commit_round = None
+        return tree.root
+
+    def finish_proof(self, transcript) -> None:
+        """Terminate codeword + optimal layers + query openings
+        (`fri/prove.rs:483-508`)."""
+        assert self.curr_round == self.n_rounds, "must execute all fold rounds"
+        p = self.params
+        terminate_np = (self.round_codewords_np[-1] if self.round_codewords_np
+                        else self.codeword_np)
+        advice = transcript.decommitment()
+        advice.write_bytes(terminate_np.astype("<u4").tobytes())
+        # optimal layers per oracle
+        depths = p.vcs_optimal_layers_depths()
+        for tree, depth in zip(self.trees, depths):
+            layer = tree.layers[tree.depth - depth]
+            advice.write_bytes(layer.tobytes())
+        # queries
+        for _ in range(p.n_test_queries):
+            index = transcript.sample_bits(p.index_bits)
+            self._prove_query(index, transcript.decommitment())
+
+    def _prove_query(self, index: int, advice) -> None:
+        p = self.params
+        if not p.fold_arities:
+            return
+        depths = p.vcs_optimal_layers_depths()
+        arity0 = p.fold_arities[0]
+        self._prove_coset_opening(self.codeword_np, self.trees[0], index, arity0,
+                                  depths[0], advice)
+        # NB: mirrors the reference convention (`fri/prove.rs:581-597`): the
+        # index shifts by the *current* loop arity, pairing round codeword i
+        # with fold_arities[i+1].
+        for i, (cw_np, tree) in enumerate(zip(self.round_codewords_np, self.trees[1:])):
+            if i + 1 >= len(p.fold_arities):
+                break
+            arity = p.fold_arities[i + 1]
+            index >>= arity
+            self._prove_coset_opening(cw_np, tree, index, arity, depths[i + 1], advice)
+
+    @staticmethod
+    def _prove_coset_opening(cw_np, tree: MerkleTree, coset_index: int, log_coset: int,
+                             opt_depth: int, advice) -> None:
+        vals = cw_np[coset_index << log_coset:(coset_index + 1) << log_coset]
+        advice.write_bytes(vals.astype("<u4").tobytes())
+        n_leaves_log = tree.depth
+        branch = tree.branch(coset_index, n_leaves_log - opt_depth)
+        for sib in branch:
+            advice.write_bytes(sib)
+
+
+def fri_commit(params: FRIParams, message):
+    """Encode + commit the interleaved message. Returns (codeword, tree)."""
+    cw = rs_encode(params, message)
+    coset_log = (params.fold_arities[0] if params.fold_arities
+                 else params.log_dim + params.log_batch_size)
+    tree = commit_codeword(codeword_to_numpy(cw), coset_log)
+    return cw, tree
+
+
+# ---------------------------------------------------------------------------
+# Verifier (host)
+# ---------------------------------------------------------------------------
+
+class FRIVerifier:
+    def __init__(self, params: FRIParams, codeword_commitment: bytes,
+                 round_commitments: list[bytes], challenges: list[int]):
+        assert len(round_commitments) == params.n_oracles
+        assert len(challenges) == params.n_fold_rounds
+        self.params = params
+        self.domain = params.ntt_domain()
+        self.codeword_commitment = codeword_commitment
+        self.round_commitments = round_commitments
+        self.interleave_tensor = eq_tensor_scalar_ordered(challenges[:params.log_batch_size])
+        self.fold_challenges = challenges[params.log_batch_size:]
+
+    def verify(self, transcript) -> int:
+        """Full query-phase verification; returns the final folded value."""
+        p = self.params
+        advice = transcript.decommitment()
+        n_term = 1 << (p.n_final_challenges + p.log_inv_rate)
+        term_bytes = advice.read_bytes(n_term * 16)
+        terminate_np = np.frombuffer(term_bytes, dtype="<u4").reshape(n_term, 4)
+        final_value = self.verify_last_oracle(terminate_np)
+        # layers
+        depths = p.vcs_optimal_layers_depths()
+        layers = []
+        for depth in depths:
+            layers.append(np.frombuffer(advice.read_bytes((1 << depth) * 32),
+                                        dtype=np.uint8).reshape(1 << depth, 32))
+        commitments = [self.codeword_commitment, *self.round_commitments]
+        for com, depth, layer in zip(commitments, depths, layers):
+            self._verify_layer(com, layer)
+        for _ in range(p.n_test_queries):
+            index = transcript.sample_bits(p.index_bits)
+            self._verify_query(index, terminate_np, layers, transcript.decommitment())
+        return final_value
+
+    def verify_last_oracle(self, terminate_np: np.ndarray) -> int:
+        p = self.params
+        last_com = self.round_commitments[-1] if self.round_commitments else self.codeword_commitment
+        n_final = p.n_final_challenges
+        tree = commit_codeword(terminate_np,
+                               n_final if p.n_oracles else p.log_dim + p.log_batch_size)
+        if tree.root != last_com:
+            raise ValueError("terminate codeword does not match commitment")
+        term = [np_elem_to_int(terminate_np, i) for i in range(terminate_np.shape[0])]
+        if p.n_oracles:
+            final_challenges = self.fold_challenges[len(self.fold_challenges) - n_final:]
+            rep = []
+            for i in range(len(term) >> n_final):
+                chunk = term[i << n_final:(i + 1) << n_final]
+                rep.append(fold_chunk_scalar(self.domain, n_final + p.log_inv_rate, i,
+                                             chunk, final_challenges))
+        else:
+            fold_arity = p.log_dim + p.log_batch_size
+            rep = []
+            for i in range(len(term) >> fold_arity):
+                chunk = term[i << fold_arity:(i + 1) << fold_arity]
+                rep.append(fold_interleaved_chunk_scalar(
+                    self.domain, p.log_code_len, p.log_batch_size, i, chunk,
+                    self.interleave_tensor, self.fold_challenges))
+        final_value = rep[0]
+        if any(v != final_value for v in rep[1:]):
+            raise ValueError("terminate codeword is not a repetition codeword")
+        return final_value
+
+    @staticmethod
+    def _verify_layer(commitment: bytes, layer: np.ndarray) -> None:
+        from ..hash.groestl import compress_pairs
+        cur = layer
+        while cur.shape[0] > 1:
+            cur = compress_pairs(cur.reshape(-1, 64))
+        if cur[0].tobytes() != commitment:
+            raise ValueError("layer does not match commitment")
+
+    def _verify_query(self, index: int, terminate_np: np.ndarray,
+                      layers: list, advice) -> None:
+        p = self.params
+        if not p.fold_arities:
+            return
+        depths = p.vcs_optimal_layers_depths()
+        arity0 = p.fold_arities[0]
+        log_n_cosets = p.index_bits
+        values = self._verify_coset_opening(index, arity0, depths[0], log_n_cosets,
+                                            layers[0], advice)
+        log_coset0 = arity0 - p.log_batch_size
+        next_value = fold_interleaved_chunk_scalar(
+            self.domain, p.log_code_len, p.log_batch_size, index, values,
+            self.interleave_tensor, self.fold_challenges[:log_coset0])
+        fold_round = log_coset0
+        for i, arity in enumerate(p.fold_arities[1:]):
+            coset_index = index >> arity
+            log_n_cosets -= arity
+            values = self._verify_coset_opening(coset_index, arity, depths[i + 1],
+                                                log_n_cosets, layers[i + 1], advice)
+            if next_value != values[index % (1 << arity)]:
+                raise ValueError(f"incorrect fold at query round {i}")
+            next_value = fold_chunk_scalar(
+                self.domain, p.log_code_len - fold_round, coset_index, values,
+                self.fold_challenges[fold_round:fold_round + arity])
+            index = coset_index
+            fold_round += arity
+        if next_value != np_elem_to_int(terminate_np, index):
+            raise ValueError("incorrect final fold")
+
+    @staticmethod
+    def _verify_coset_opening(coset_index: int, log_coset: int, opt_depth: int,
+                              log_n_cosets: int, layer: np.ndarray, advice) -> list[int]:
+        raw = advice.read_bytes((1 << log_coset) * 16)
+        vals_np = np.frombuffer(raw, dtype="<u4").reshape(1 << log_coset, 4)
+        blob = vals_np.view(np.uint8).reshape(1, -1)
+        leaf_digest = hash_leaves(blob)[0].tobytes()
+        n_branch = log_n_cosets - opt_depth
+        branch = [advice.read_bytes(32) for _ in range(n_branch)]
+        if not verify_branch_to_layer(layer, coset_index, leaf_digest, branch):
+            raise ValueError("Merkle coset opening failed")
+        return [np_elem_to_int(vals_np, i) for i in range(vals_np.shape[0])]
