@@ -1,0 +1,290 @@
+"""Ring switching (DP24 §4-5): reduce small-field evaluation claims on
+committed multilinears to PIOP sumcheck claims on their packed multilinears.
+
+Mirrors `crates/core/src/ring_switch/` + `crates/core/src/tensor_algebra.rs`:
+
+  * tensor-algebra partial evaluations (one per claim, mixed per shared
+    eval-point prefix) are sent and checked against the claimed evals;
+  * row-batching challenges fold the tensor elements vertically into the
+    sums of the reduced sumcheck claims;
+  * the transparent multiplier is the ring-switch eq indicator
+    A(v) = sum_u rowcoeff_u * coord_u(mix * eq(z_suffix, v))
+    (`ring_switch/eq_ind.rs:41-149`).
+
+Conventions: a committed multilinear at tower level l with n variables has
+kappa = 7 - l; the eval point splits into prefix (z_0..z_{kappa-1}) and
+suffix; the packed multilinear has n - kappa variables.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+
+from ..fields import scalar, tower
+from ..math import mle
+from .piop import PIOPSumcheckClaim
+from .sumcheck.common import LEVEL
+
+
+# ---------------------------------------------------------------------------
+# Tensor algebra over (B_l, B128), host ints
+# ---------------------------------------------------------------------------
+
+def coord(level: int, e: int, j: int) -> int:
+    """j-th B_level coordinate of a B128 element (basis = bit slices)."""
+    w = 1 << level
+    return (e >> (j * w)) & ((1 << w) - 1)
+
+
+def from_coords(level: int, coords: list[int]) -> int:
+    w = 1 << level
+    out = 0
+    for j, c in enumerate(coords):
+        out |= c << (j * w)
+    return out
+
+
+@dataclasses.dataclass
+class TensorAlgElem:
+    """2^kappa vertical B128 elements; kappa = 7 - level."""
+
+    level: int
+    elems: list  # list[int], length 2^(7-level)
+
+    @property
+    def kappa(self) -> int:
+        return 7 - self.level
+
+    @staticmethod
+    def zero(level: int) -> "TensorAlgElem":
+        return TensorAlgElem(level, [0] * (1 << (7 - level)))
+
+    @staticmethod
+    def from_vertical(level: int, x: int) -> "TensorAlgElem":
+        e = TensorAlgElem.zero(level)
+        e.elems[0] = x
+        return e
+
+    def add(self, other: "TensorAlgElem") -> "TensorAlgElem":
+        assert self.level == other.level
+        return TensorAlgElem(self.level, [a ^ b for a, b in zip(self.elems, other.elems)])
+
+    def scale_vertical(self, s: int) -> "TensorAlgElem":
+        return TensorAlgElem(self.level, [scalar.mul(LEVEL, e, s) for e in self.elems])
+
+    def transpose(self) -> "TensorAlgElem":
+        k = 1 << self.kappa
+        new = []
+        for i in range(k):
+            new.append(from_coords(self.level, [coord(self.level, self.elems[j], i)
+                                                for j in range(k)]))
+        return TensorAlgElem(self.level, new)
+
+    def scale_horizontal(self, s: int) -> "TensorAlgElem":
+        return self.transpose().scale_vertical(s).transpose()
+
+    def fold_vertical(self, coeffs: list[int]) -> int:
+        t = self.transpose()
+        acc = 0
+        for e, c in zip(t.elems, coeffs):
+            acc ^= scalar.mul(LEVEL, e, c)
+        return acc
+
+
+# ---------------------------------------------------------------------------
+# Claims
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class RingSwitchEvalClaim:
+    """Evaluation claim on a committed small-field multilinear.
+
+    point has n_vars = packed_n_vars + kappa entries (B128 ints).
+    """
+
+    committed_idx: int   # index into the commit metadata ordering
+    level: int           # tower level of the committed multilinear
+    point: tuple         # tuple[int]
+    eval: int
+
+    @property
+    def kappa(self) -> int:
+        return 7 - self.level
+
+    @property
+    def prefix(self) -> tuple:
+        return self.point[:self.kappa]
+
+    @property
+    def suffix(self) -> tuple:
+        return self.point[self.kappa:]
+
+
+def _group_by(values):
+    """Group equal values, preserving first-seen order. Returns (uniques,
+    index_of_each)."""
+    uniq, idx = [], []
+    for v in values:
+        try:
+            i = uniq.index(v)
+        except ValueError:
+            i = len(uniq)
+            uniq.append(v)
+        idx.append(i)
+    return uniq, idx
+
+
+def _mixing_coeffs(transcript, n_claims: int) -> list[int]:
+    m = (n_claims - 1).bit_length() if n_claims > 1 else 0
+    challenges = transcript.sample_scalars(LEVEL, m)
+    coeffs = [1]
+    for r in challenges:
+        coeffs = ([scalar.mul(LEVEL, c, r ^ 1) for c in coeffs]
+                  + [scalar.mul(LEVEL, c, r) for c in coeffs])
+    return coeffs[:n_claims]
+
+
+def _eq_expansion_scalar(point: list[int]) -> list[int]:
+    out = [1]
+    for r in point:
+        out = ([scalar.mul(LEVEL, c, r ^ 1) for c in out]
+               + [scalar.mul(LEVEL, c, r) for c in out])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Ring-switch eq indicator
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _eq_ind_mle_jit(level: int, suffix_pt, mix, row_coeffs):
+    """Device MLE of A: evals[v] = sum_u embed(coord_u(mix*eq_v)) * rowcoeff_u."""
+    eq = mle.eq_ind_partial_eval(LEVEL, suffix_pt)
+    scaled = tower.mul(LEVEL, eq, mix)
+    coords = tower.split_to_subfield(LEVEL, level, scaled)  # (2^n, 2^kappa[, limbs])
+    emb = tower.embed(level, LEVEL, coords)
+    return tower.inner_product(LEVEL, emb, row_coeffs, axis=1)
+
+
+def ring_switch_eq_ind_mle(level: int, suffix: list[int], mix: int, row_coeffs: list[int]):
+    """(data, n_vars) device multilinear of the ring-switch eq indicator."""
+    k = 1 << (7 - level)
+    sp = tower.from_ints(LEVEL, list(suffix))
+    mx = tower.from_ints(LEVEL, [mix])[0]
+    rc = tower.from_ints(LEVEL, list(row_coeffs[:k]))
+    if tower.has_limb_dim(LEVEL):
+        rc = rc[None, :, :]
+    data = _eq_ind_mle_jit(level, sp, mx, rc)
+    return data, len(suffix)
+
+
+def ring_switch_eq_ind_eval(level: int, suffix: list[int], mix: int,
+                            row_coeffs: list[int], query: list[int]) -> int:
+    """Host evaluation of A at an arbitrary B128 query point
+    (`ring_switch/eq_ind.rs:160-186`)."""
+    assert len(query) == len(suffix)
+    acc = TensorAlgElem.from_vertical(level, mix)
+    for z, q in zip(suffix, query):
+        vert = acc.scale_vertical(z)
+        hztl = acc.scale_horizontal(q)
+        acc = acc.add(vert).add(hztl)
+    return acc.fold_vertical(row_coeffs)
+
+
+# ---------------------------------------------------------------------------
+# Prove / verify
+# ---------------------------------------------------------------------------
+
+def _partial_eval_tensor(claim: RingSwitchEvalClaim, witness) -> TensorAlgElem:
+    """a_u = MLE of f(u, .) at z_suffix, u over the low kappa variables."""
+    level, data = witness
+    assert level == claim.level
+    n = len(claim.point)
+    k = claim.kappa
+    eq = mle.eq_ind_partial_eval(LEVEL, tower.from_ints(LEVEL, list(claim.suffix)))
+    _, partial = mle.evaluate_partial_high(level, data, n, LEVEL, eq, n - k)
+    return TensorAlgElem(level, tower.to_ints(LEVEL, partial))
+
+
+@dataclasses.dataclass
+class ReducedRingSwitch:
+    sumcheck_claims: list   # list[PIOPSumcheckClaim]
+    transparent_mles: list  # prover: [(data, n_vars)]; verifier: [(n_vars, eval_fn)]
+
+
+def prove(claims: list[RingSwitchEvalClaim], witnesses: list, transcript) -> ReducedRingSwitch:
+    """witnesses[i] = (level, data) for committed multilinear i (claim order
+    references committed_idx). Claims must be sorted ascending by packed
+    n_vars (len(suffix))."""
+    n = len(claims)
+    mixing = _mixing_coeffs(transcript, n)
+    tensor_elems = [_partial_eval_tensor(c, witnesses[c.committed_idx]) for c in claims]
+    scaled = [t.scale_vertical(m) for t, m in zip(tensor_elems, mixing)]
+    prefixes, claim_to_prefix = _group_by([c.prefix for c in claims])
+    mixed = [None] * len(prefixes)
+    for t, pi, c in zip(scaled, claim_to_prefix, claims):
+        mixed[pi] = t if mixed[pi] is None else mixed[pi].add(t)
+    w = transcript.message()
+    for t in mixed:
+        w.write_scalars(LEVEL, t.elems)
+    max_kappa = max(c.kappa for c in claims)
+    row_challenges = transcript.sample_scalars(LEVEL, max_kappa)
+    row_coeffs = _eq_expansion_scalar(row_challenges)
+    row_batched = [t.fold_vertical(row_coeffs) for t in scaled]
+    transcript.message().write_scalars(LEVEL, row_batched)
+    transparents = [ring_switch_eq_ind_mle(c.level, list(c.suffix), m, row_coeffs)
+                    for c, m in zip(claims, mixing)]
+    sc = [PIOPSumcheckClaim(len(c.suffix), c.committed_idx, i, rb)
+          for i, (c, rb) in enumerate(zip(claims, row_batched))]
+    return ReducedRingSwitch(sc, transparents)
+
+
+def verify(claims: list[RingSwitchEvalClaim], transcript) -> ReducedRingSwitch:
+    n = len(claims)
+    mixing = _mixing_coeffs(transcript, n)
+    prefixes, claim_to_prefix = _group_by([c.prefix for c in claims])
+    kappa_by_prefix = {}
+    for c, pi in zip(claims, claim_to_prefix):
+        kappa_by_prefix.setdefault(pi, c.kappa)
+        assert kappa_by_prefix[pi] == c.kappa
+    # expected mixed evals per prefix
+    expected = [0] * len(prefixes)
+    for c, m, pi in zip(claims, mixing, claim_to_prefix):
+        expected[pi] ^= scalar.mul(LEVEL, c.eval, m)
+    r = transcript.message()
+    tensor_elems = []
+    for pi, prefix in enumerate(prefixes):
+        k = kappa_by_prefix[pi]
+        elems = r.read_scalars(LEVEL, 1 << k)
+        # evaluate the vertical-elems MLE at the prefix point
+        cur = list(elems)
+        for z in prefix:
+            cur = [cur[2 * i] ^ scalar.mul(LEVEL, cur[2 * i] ^ cur[2 * i + 1], z)
+                   for i in range(len(cur) // 2)]
+        if cur[0] != expected[pi]:
+            raise ValueError("ring switch: tensor element mismatch with eval claims")
+        tensor_elems.append(TensorAlgElem(7 - k, elems))
+    max_kappa = max(c.kappa for c in claims)
+    row_challenges = transcript.sample_scalars(LEVEL, max_kappa)
+    row_coeffs = _eq_expansion_scalar(row_challenges)
+    row_batched = transcript.message().read_scalars(LEVEL, n)
+    mixed_rb = [0] * len(prefixes)
+    for rb, pi in zip(row_batched, claim_to_prefix):
+        mixed_rb[pi] ^= rb
+    for t, want in zip(tensor_elems, mixed_rb):
+        if t.fold_vertical(row_coeffs) != want:
+            raise ValueError("ring switch: row-batched sum mismatch")
+    transparents = []
+    for c, m in zip(claims, mixing):
+        suffix = list(c.suffix)
+        transparents.append((
+            len(suffix),
+            (lambda lvl, sfx, mm: lambda q: ring_switch_eq_ind_eval(
+                lvl, sfx, mm, row_coeffs, q))(c.level, suffix, m),
+        ))
+    sc = [PIOPSumcheckClaim(len(c.suffix), c.committed_idx, i, rb)
+          for i, (c, rb) in enumerate(zip(claims, row_batched))]
+    return ReducedRingSwitch(sc, transparents)
