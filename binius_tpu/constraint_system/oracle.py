@@ -1,0 +1,91 @@
+"""Multilinear oracle set: registry of committed + virtual multilinears.
+
+Mirrors `crates/core/src/oracle/multilinear.rs:355-605` (subset of variants,
+growing): Committed, Transparent, Shifted, LinearCombination, Repeating,
+Packed, ZeroPadded. Each oracle is identified by a dense integer id.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+COMMITTED = "committed"
+TRANSPARENT = "transparent"
+SHIFTED = "shifted"
+LINEAR_COMBINATION = "linear_combination"
+REPEATING = "repeating"
+PACKED = "packed"
+ZERO_PADDED = "zero_padded"
+
+
+@dataclasses.dataclass(frozen=True)
+class Oracle:
+    id: int
+    n_vars: int
+    tower_level: int
+    variant: str
+    inner: tuple = ()          # inner oracle ids
+    shift_offset: int = 0
+    shift_block_bits: int = 0
+    shift_variant: str = ""
+    lc_offset: int = 0         # constant term (B128 int)
+    lc_coeffs: tuple = ()      # per-inner coefficients (B128 ints)
+    log_degree: int = 0        # packed: log extension degree; repeating: log count
+    transparent: object = None  # TransparentPoly (n_vars, level, evaluate_scalar, mle)
+    name: str = ""
+
+
+class OracleSet:
+    def __init__(self):
+        self.oracles: list[Oracle] = []
+
+    def __getitem__(self, oid: int) -> Oracle:
+        return self.oracles[oid]
+
+    def __len__(self) -> int:
+        return len(self.oracles)
+
+    def _add(self, **kw) -> int:
+        oid = len(self.oracles)
+        self.oracles.append(Oracle(id=oid, **kw))
+        return oid
+
+    def add_committed(self, n_vars: int, tower_level: int, name: str = "") -> int:
+        return self._add(n_vars=n_vars, tower_level=tower_level, variant=COMMITTED, name=name)
+
+    def add_transparent(self, poly, name: str = "") -> int:
+        return self._add(n_vars=poly.n_vars, tower_level=poly.level, variant=TRANSPARENT,
+                         transparent=poly, name=name)
+
+    def add_shifted(self, inner_id: int, offset: int, block_bits: int, variant: str,
+                    name: str = "") -> int:
+        inner = self[inner_id]
+        assert 0 < offset < (1 << block_bits) and block_bits <= inner.n_vars
+        return self._add(n_vars=inner.n_vars, tower_level=inner.tower_level,
+                         variant=SHIFTED, inner=(inner_id,), shift_offset=offset,
+                         shift_block_bits=block_bits, shift_variant=variant, name=name)
+
+    def add_linear_combination(self, n_vars: int, terms, offset: int = 0,
+                               name: str = "") -> int:
+        """terms: [(inner_id, coeff B128 int)]; result level is 7."""
+        for oid, _ in terms:
+            assert self[oid].n_vars == n_vars
+        return self._add(n_vars=n_vars, tower_level=7, variant=LINEAR_COMBINATION,
+                         inner=tuple(oid for oid, _ in terms),
+                         lc_coeffs=tuple(c for _, c in terms), lc_offset=offset, name=name)
+
+    def add_repeating(self, inner_id: int, log_count: int, name: str = "") -> int:
+        inner = self[inner_id]
+        return self._add(n_vars=inner.n_vars + log_count, tower_level=inner.tower_level,
+                         variant=REPEATING, inner=(inner_id,), log_degree=log_count,
+                         name=name)
+
+    def add_packed(self, inner_id: int, log_degree: int, name: str = "") -> int:
+        inner = self[inner_id]
+        assert inner.n_vars >= log_degree
+        return self._add(n_vars=inner.n_vars - log_degree,
+                         tower_level=inner.tower_level + log_degree, variant=PACKED,
+                         inner=(inner_id,), log_degree=log_degree, name=name)
+
+    def committed_ids(self) -> list[int]:
+        return [o.id for o in self.oracles if o.variant == COMMITTED]
