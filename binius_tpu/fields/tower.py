@@ -85,6 +85,8 @@ def from_ints(level: int, values) -> jax.Array:
     """Python ints / iterables -> device array in canonical layout."""
     vals = list(values)
     if has_limb_dim(level):
+        if not vals:
+            return jnp.zeros((0, n_limbs(level)), dtype=U32)
         arr = np.stack([_int_to_limbs(level, int(v)) for v in vals])
         return jnp.asarray(arr)
     return jnp.asarray(np.array([int(v) for v in vals], dtype=np.uint32))
