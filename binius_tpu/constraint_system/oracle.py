@@ -89,3 +89,8 @@ class OracleSet:
 
     def committed_ids(self) -> list[int]:
         return [o.id for o in self.oracles if o.variant == COMMITTED]
+
+    def clone(self) -> "OracleSet":
+        c = OracleSet()
+        c.oracles = list(self.oracles)
+        return c

@@ -18,15 +18,17 @@ from __future__ import annotations
 
 import dataclasses
 
+from ..fields import scalar, tower
 from ..math.arith import CompositionPoly
-from ..protocols import evalcheck, ring_switch
+from ..protocols import evalcheck, gkr_gpa, ring_switch
 from ..protocols import fri as fri_mod
 from ..protocols import piop
 from ..protocols.sumcheck import zerocheck as zc
 from ..protocols.sumcheck.common import LEVEL
 from ..transcript.transcript import ProverTranscript, VerifierTranscript
 from . import oracle as om
-from .system import ConstraintSystem
+from . import witness as witness_mod
+from .system import PULL, PUSH, ConstraintSystem
 
 SECURITY_BITS = 100
 
@@ -88,11 +90,78 @@ def _to_evalcheck_claims(sets, ver_or_out, challenges_order_high):
     return out
 
 
-def prove(system: ConstraintSystem, witness: dict, log_inv_rate: int = 1) -> bytes:
+def _observe_boundaries(transcript, boundaries) -> None:
+    w = transcript.observe()
+    for b in boundaries:
+        w.write_u64(b.channel_id)
+        w.write_bytes(b.direction.encode())
+        w.write_u64(b.multiplicity)
+        w.write_scalars(LEVEL, list(b.values))
+
+
+def _make_flush_oracles(system: ConstraintSystem, alpha: int, beta: int):
+    """Instantiate the flush LC oracles (both sides do this identically);
+    returns list of (flush, oracle_id)."""
+    out = []
+    for f in system.flushes:
+        n_vars = system.oracles[f.oracle_ids[0]].n_vars
+        coeff = beta
+        terms = []
+        for oid in f.oracle_ids:
+            assert system.oracles[oid].n_vars == n_vars
+            terms.append((oid, coeff))
+            coeff = scalar.mul(LEVEL, coeff, beta)
+        oid = system.oracles.add_linear_combination(n_vars, terms, alpha,
+                                                   f"flush_{len(out)}")
+        out.append((f, oid))
+    return out
+
+
+def _boundary_value(b, alpha: int, beta: int) -> int:
+    acc = alpha
+    coeff = beta
+    for v in b.values:
+        acc ^= scalar.mul(LEVEL, coeff, v)
+        coeff = scalar.mul(LEVEL, coeff, beta)
+    return acc
+
+
+def _check_channel_balance(system, boundaries, flush_products, alpha, beta) -> None:
+    lhs = [1] * system.n_channels
+    rhs = [1] * system.n_channels
+    for (f, _), p in flush_products:
+        side = lhs if f.direction == PUSH else rhs
+        side[f.channel_id] = scalar.mul(
+            LEVEL, side[f.channel_id], scalar.pow(LEVEL, p, f.multiplicity))
+    for b in boundaries:
+        v = scalar.pow(LEVEL, _boundary_value(b, alpha, beta), b.multiplicity)
+        side = lhs if b.direction == PUSH else rhs
+        side[b.channel_id] = scalar.mul(LEVEL, side[b.channel_id], v)
+    for c in range(system.n_channels):
+        if lhs[c] != rhs[c]:
+            raise ValueError(f"channel {c} is not balanced")
+
+
+def _gpa_instances(system: ConstraintSystem, flush_oracles):
+    """Deterministic GPA instance list: (oracle_id, kind) sorted desc by
+    n_vars, flushes before non-zero claims at equal size."""
+    inst = [(oid, "flush", f) for f, oid in flush_oracles]
+    inst += [(nz.oracle_id, "nonzero", None) for nz in system.non_zero_claims]
+    inst.sort(key=lambda t: -system.oracles[t[0]].n_vars)
+    return inst
+
+
+def prove(system: ConstraintSystem, witness: dict, boundaries: list = (),
+          log_inv_rate: int = 1) -> bytes:
     """witness: oracle id -> (level, device data) for committed and virtual
     oracles (prover materializes virtual columns during witness generation)."""
     transcript = ProverTranscript()
     transcript.observe().write_bytes(system.digest())
+    _observe_boundaries(transcript, boundaries)
+    # Work on copies: flush oracles are instantiated during proving.
+    system = ConstraintSystem(system.oracles.clone(), system.constraint_sets,
+                              system.flushes, system.n_channels, system.non_zero_claims)
+    witness = dict(witness)
 
     # --- commit phase ---
     layout = CommitLayout.from_system(system)
@@ -108,11 +177,38 @@ def prove(system: ConstraintSystem, witness: dict, log_inv_rate: int = 1) -> byt
     codeword, tree, _ = piop.commit(fri_params, layout.commit_meta, packed_mles)
     transcript.message().write_bytes(tree.root)
 
+    # --- channel / non-zero (grand product) phase ---
+    gpa_ec_claims = []
+    if system.flushes or system.non_zero_claims:
+        alpha = transcript.sample_scalar(LEVEL)
+        beta = transcript.sample_scalar(LEVEL)
+        flush_oracles = _make_flush_oracles(system, alpha, beta)
+        instances = _gpa_instances(system, flush_oracles)
+        gpa_claims, gpa_wits, flush_products = [], [], []
+        w = transcript.message()
+        for oid, kind, f in instances:
+            lvl, data = witness_mod.materialize(system.oracles, witness, oid)
+            if lvl < LEVEL:
+                data = tower.embed(lvl, LEVEL, data)
+            gw = gkr_gpa.GrandProductWitness.compute(system.oracles[oid].n_vars, data)
+            p = gw.product
+            if kind == "flush" and p == 0:
+                raise ValueError("zero flush product (table row collides with challenge)")
+            w.write_scalar(LEVEL, p)
+            gpa_claims.append(gkr_gpa.GrandProductClaim(system.oracles[oid].n_vars, p))
+            gpa_wits.append(gw)
+            if kind == "flush":
+                flush_products.append(((f, oid), p))
+        _check_channel_balance(system, boundaries, flush_products, alpha, beta)
+        gpa_out = gkr_gpa.batch_prove(gpa_claims, gpa_wits, transcript)
+        for (oid, kind, f), pt, ev in zip(instances, gpa_out.eval_points, gpa_out.evals):
+            gpa_ec_claims.append(evalcheck.EvalcheckClaim(oid, tuple(pt), ev))
+
     # --- zerocheck phase ---
     sets, claims = _zerocheck_claims(system)
     mls_per_claim = [[witness[oid] for oid in s.oracle_ids] for s in sets]
     zc_out = zc.batch_prove(claims, mls_per_claim, transcript, order_high=False)
-    ec_claims = _to_evalcheck_claims(sets, zc_out, False)
+    ec_claims = _to_evalcheck_claims(sets, zc_out, False) + gpa_ec_claims
 
     # --- evalcheck phase ---
     committed_claims = evalcheck.prove(system.oracles, witness, ec_claims, transcript)
@@ -140,17 +236,42 @@ def _ring_switch_claims(system, layout, committed_claims):
     return [k[2] for k in keyed]
 
 
-def verify(system: ConstraintSystem, proof: bytes, log_inv_rate: int = 1) -> None:
+def verify(system: ConstraintSystem, proof: bytes, boundaries: list = (),
+           log_inv_rate: int = 1) -> None:
     transcript = VerifierTranscript(proof)
     transcript.observe().write_bytes(system.digest())
+    _observe_boundaries(transcript, boundaries)
+    system = ConstraintSystem(system.oracles.clone(), system.constraint_sets,
+                              system.flushes, system.n_channels, system.non_zero_claims)
 
     layout = CommitLayout.from_system(system)
     fri_params = make_fri_params(layout.commit_meta, log_inv_rate)
     commitment = transcript.message().read_bytes(32)
 
+    # --- channel / non-zero (grand product) phase ---
+    gpa_ec_claims = []
+    if system.flushes or system.non_zero_claims:
+        alpha = transcript.sample_scalar(LEVEL)
+        beta = transcript.sample_scalar(LEVEL)
+        flush_oracles = _make_flush_oracles(system, alpha, beta)
+        instances = _gpa_instances(system, flush_oracles)
+        r = transcript.message()
+        gpa_claims, flush_products = [], []
+        for oid, kind, f in instances:
+            p = r.read_scalar(LEVEL)
+            if kind == "nonzero" and p == 0:
+                raise ValueError(f"non-zero claim on oracle {oid} failed")
+            gpa_claims.append(gkr_gpa.GrandProductClaim(system.oracles[oid].n_vars, p))
+            if kind == "flush":
+                flush_products.append(((f, oid), p))
+        _check_channel_balance(system, boundaries, flush_products, alpha, beta)
+        gpa_out = gkr_gpa.batch_verify(gpa_claims, transcript)
+        for (oid, kind, f), pt, ev in zip(instances, gpa_out.eval_points, gpa_out.evals):
+            gpa_ec_claims.append(evalcheck.EvalcheckClaim(oid, tuple(pt), ev))
+
     sets, claims = _zerocheck_claims(system)
     zc_ver = zc.batch_verify(claims, transcript, order_high=False)
-    ec_claims = _to_evalcheck_claims(sets, zc_ver, False)
+    ec_claims = _to_evalcheck_claims(sets, zc_ver, False) + gpa_ec_claims
 
     committed_claims = evalcheck.verify(system.oracles, ec_claims, transcript)
 

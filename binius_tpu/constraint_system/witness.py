@@ -1,0 +1,54 @@
+"""Witness index utilities: materialize virtual oracle columns on device.
+
+Counterpart of `crates/core/src/witness.rs` (MultilinearExtensionIndex) plus
+the flush-oracle witness construction of `constraint_system/prove.rs:329-338`.
+A witness is a dict: oracle id -> (tower_level, device data).
+"""
+
+from __future__ import annotations
+
+from ..fields import tower
+from ..protocols import shift_ind
+from . import oracle as om
+
+LEVEL = 7
+
+
+def materialize(oracles: om.OracleSet, witness: dict, oid: int):
+    """Compute (level, data) for a virtual oracle from its inner witnesses,
+    caching into `witness`. Committed oracles must already be present."""
+    if oid in witness:
+        return witness[oid]
+    o = oracles[oid]
+    if o.variant == om.TRANSPARENT:
+        out = o.transparent.mle()
+    elif o.variant == om.REPEATING:
+        ilvl, idata = materialize(oracles, witness, o.inner[0])
+        reps = 1 << o.log_degree
+        import jax.numpy as jnp
+        out = (ilvl, jnp.concatenate([idata] * reps, axis=0))
+    elif o.variant == om.LINEAR_COMBINATION:
+        acc = tower.full(LEVEL, (1 << o.n_vars,), o.lc_offset)
+        for iid, coeff in zip(o.inner, o.lc_coeffs):
+            ilvl, idata = materialize(oracles, witness, iid)
+            if ilvl < LEVEL:
+                idata = tower.embed(ilvl, LEVEL, idata)
+            c = tower.from_ints(LEVEL, [coeff])[0]
+            acc = tower.add(LEVEL, acc, tower.mul(LEVEL, idata, c))
+        out = (LEVEL, acc)
+    elif o.variant == om.SHIFTED:
+        ilvl, idata = materialize(oracles, witness, o.inner[0])
+        vals = tower.to_ints(ilvl, idata)
+        shifted = shift_ind.apply_shift_ints(o.shift_variant, o.shift_block_bits,
+                                             o.shift_offset, vals)
+        out = (ilvl, tower.from_ints(ilvl, shifted))
+    elif o.variant == om.PACKED:
+        ilvl, idata = materialize(oracles, witness, o.inner[0])
+        inner = oracles[o.inner[0]]
+        coeffs = idata.reshape(tower.elem_shape(
+            ilvl, (1 << o.n_vars, 1 << o.log_degree)))
+        out = (o.tower_level, tower.join_from_subfield(o.tower_level, ilvl, coeffs))
+    else:
+        raise KeyError(f"cannot materialize oracle {oid} ({o.variant})")
+    witness[oid] = out
+    return out
