@@ -1,0 +1,197 @@
+"""M3 table builder: typed column DSL over the core constraint system.
+
+Mirrors `crates/m3/src/builder/` (constraint_system.rs, table.rs, column.rs,
+channel.rs — subset, growing): tables own columns (committed, shifted,
+computed, constant), zero constraints, and channel flushes; `compile()`
+lowers everything to the core `ConstraintSystem` given per-table row counts.
+
+Layout convention (matches the reference's vertical packing): a column with
+2^v values per row becomes an oracle with log_rows + v variables; the value
+index occupies the LOW v bits, the row index the high bits.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from ...constraint_system import oracle as om
+from ...constraint_system.system import ConstraintSet, ConstraintSystem, Flush, PULL, PUSH
+from ...math.arith import ArithExpr
+
+
+@dataclasses.dataclass(frozen=True)
+class Col:
+    """Typed column handle: tower level + log2(values per row)."""
+
+    table_id: int
+    index: int
+    level: int
+    log_values_per_row: int
+    name: str = ""
+
+    def expr(self) -> ArithExpr:
+        raise TypeError("use table-local expression building via partition vars")
+
+
+@dataclasses.dataclass
+class _ColumnDef:
+    col: Col
+    kind: str                   # committed | shifted | computed | constant
+    inner: object = None        # Col for shifted; ArithExpr over cols for computed
+    shift_offset: int = 0
+    shift_block_bits: int = 0
+    shift_variant: str = ""
+    expr_cols: tuple = ()       # for computed: the Cols appearing in expr order
+    constant: int = 0
+
+
+class TableBuilder:
+    def __init__(self, table_id: int, name: str = ""):
+        self.table_id = table_id
+        self.name = name
+        self.columns: list[_ColumnDef] = []
+        self.zero_constraints: list = []   # (name, log_vpr, expr over cols, cols)
+        self.flushes: list = []            # (channel_id, direction, [Col], multiplicity)
+
+    # -- columns -----------------------------------------------------------
+    def _new_col(self, level, log_vpr, name) -> Col:
+        return Col(self.table_id, len(self.columns), level, log_vpr, name)
+
+    def add_committed(self, name: str, level: int, log_values_per_row: int = 0) -> Col:
+        c = self._new_col(level, log_values_per_row, name)
+        self.columns.append(_ColumnDef(c, "committed"))
+        return c
+
+    def add_shifted(self, name: str, inner: Col, offset: int, block_bits: int,
+                    variant: str) -> Col:
+        assert block_bits <= inner.log_values_per_row, \
+            "shift block must fit within a row"
+        c = self._new_col(inner.level, inner.log_values_per_row, name)
+        self.columns.append(_ColumnDef(c, "shifted", inner=inner, shift_offset=offset,
+                                       shift_block_bits=block_bits,
+                                       shift_variant=variant))
+        return c
+
+    def add_computed(self, name: str, expr: ArithExpr, cols: list) -> Col:
+        """Column defined as an arithmetic expression of other columns (same
+        values-per-row); lowered to a LinearCombination when linear, else a
+        committed-with-constraint pair is required (not yet supported)."""
+        lvl = 7
+        vpr = cols[0].log_values_per_row
+        assert all(c.log_values_per_row == vpr for c in cols)
+        c = self._new_col(lvl, vpr, name)
+        self.columns.append(_ColumnDef(c, "computed", inner=expr, expr_cols=tuple(cols)))
+        return c
+
+    def add_constant(self, name: str, level: int, value: int,
+                     log_values_per_row: int = 0) -> Col:
+        c = self._new_col(level, log_values_per_row, name)
+        self.columns.append(_ColumnDef(c, "constant", constant=value))
+        return c
+
+    # -- constraints -------------------------------------------------------
+    def assert_zero(self, name: str, cols: list, expr: ArithExpr) -> None:
+        """expr is over var(i) = cols[i]; all cols share values-per-row."""
+        vpr = cols[0].log_values_per_row
+        assert all(c.log_values_per_row == vpr for c in cols)
+        self.zero_constraints.append((name, vpr, expr, tuple(cols)))
+
+    # -- flushes -----------------------------------------------------------
+    def push(self, channel_id: int, cols: list, multiplicity: int = 1) -> None:
+        assert all(c.log_values_per_row == 0 for c in cols), \
+            "flush columns must have one value per row"
+        self.flushes.append((channel_id, PUSH, tuple(cols), multiplicity))
+
+    def pull(self, channel_id: int, cols: list, multiplicity: int = 1) -> None:
+        assert all(c.log_values_per_row == 0 for c in cols)
+        self.flushes.append((channel_id, PULL, tuple(cols), multiplicity))
+
+
+class M3ConstraintSystem:
+    """Top-level builder: tables + channels (`builder/constraint_system.rs:36`)."""
+
+    def __init__(self):
+        self.tables: list[TableBuilder] = []
+        self.n_channels = 0
+
+    def add_table(self, name: str = "") -> TableBuilder:
+        t = TableBuilder(len(self.tables), name)
+        self.tables.append(t)
+        return t
+
+    def add_channel(self) -> int:
+        c = self.n_channels
+        self.n_channels += 1
+        return c
+
+    def compile(self, table_log_rows: list[int]):
+        """Lower to the core system. Returns (ConstraintSystem, oracle_map)
+        where oracle_map[(table_id, col_index)] = oracle id."""
+        assert len(table_log_rows) == len(self.tables)
+        oracles = om.OracleSet()
+        oracle_map: dict = {}
+        constraint_sets = []
+        flushes = []
+        for t, log_rows in zip(self.tables, table_log_rows):
+            for cd in t.columns:
+                col = cd.col
+                n_vars = log_rows + col.log_values_per_row
+                key = (t.table_id, col.index)
+                nm = f"{t.name}.{col.name}"
+                if cd.kind == "committed":
+                    oracle_map[key] = oracles.add_committed(n_vars, col.level, nm)
+                elif cd.kind == "shifted":
+                    inner_id = oracle_map[(t.table_id, cd.inner.index)]
+                    oracle_map[key] = oracles.add_shifted(
+                        inner_id, cd.shift_offset, cd.shift_block_bits,
+                        cd.shift_variant, nm)
+                elif cd.kind == "computed":
+                    expr = cd.inner
+                    if expr.degree() > 1:
+                        raise NotImplementedError("nonlinear computed columns")
+                    terms, offset = _linearize(expr, len(cd.expr_cols))
+                    lc_terms = [(oracle_map[(t.table_id, c.index)], coeff)
+                                for c, coeff in zip(cd.expr_cols, terms)]
+                    oracle_map[key] = oracles.add_linear_combination(
+                        n_vars, lc_terms, offset, nm)
+                elif cd.kind == "constant":
+                    from ...protocols.transparent import Constant
+                    tp = Constant(n_vars, cd.constant, col.level)
+                    oracle_map[key] = oracles.add_transparent(tp, nm)
+            # group zero constraints by values-per-row partition
+            by_vpr: dict = {}
+            for name, vpr, expr, cols in t.zero_constraints:
+                by_vpr.setdefault(vpr, []).append((name, expr, cols))
+            for vpr, entries in sorted(by_vpr.items()):
+                # union of columns used, deterministic order
+                col_list = []
+                for _, _, cols in entries:
+                    for c in cols:
+                        if c not in col_list:
+                            col_list.append(c)
+                exprs = []
+                for _, expr, cols in entries:
+                    remap = {i: col_list.index(c) for i, c in enumerate(cols)}
+                    exprs.append(expr.remap_vars(remap))
+                constraint_sets.append(ConstraintSet(
+                    log_rows + vpr,
+                    tuple(oracle_map[(t.table_id, c.index)] for c in col_list),
+                    tuple(exprs)))
+            for channel_id, direction, cols, mult in t.flushes:
+                flushes.append(Flush(channel_id, direction,
+                                     tuple(oracle_map[(t.table_id, c.index)] for c in cols),
+                                     mult))
+        return ConstraintSystem(oracles, constraint_sets, flushes,
+                                self.n_channels), oracle_map
+
+
+def _linearize(expr: ArithExpr, n_vars: int):
+    """Extract (coeffs per var, constant offset) from a degree<=1 expression
+    by evaluation at unit vectors (fields of char 2)."""
+    offset = expr.evaluate_scalar(7, [0] * n_vars)
+    coeffs = []
+    for i in range(n_vars):
+        pt = [0] * n_vars
+        pt[i] = 1
+        coeffs.append(expr.evaluate_scalar(7, pt) ^ offset)
+    return coeffs, offset

@@ -1,0 +1,81 @@
+"""M3 witness index: host-side column buffers lowered to device witnesses.
+
+Mirrors `crates/m3/src/builder/witness.rs` (WitnessIndex / TableWitness):
+the user fills committed columns (with typed helpers for bit-packed
+integers); virtual columns (shifted / computed / constant) are materialized
+from the oracle definitions at lowering time.
+"""
+
+from __future__ import annotations
+
+from ...constraint_system import witness as core_witness
+from ...fields import tower
+
+
+class TableWitness:
+    def __init__(self, table, log_rows: int):
+        self.table = table
+        self.log_rows = log_rows
+        self.columns: dict = {}  # col index -> list[int] of length rows << vpr
+
+    @property
+    def n_rows(self) -> int:
+        return 1 << self.log_rows
+
+    def set_column(self, col, values: list) -> None:
+        expect = self.n_rows << col.log_values_per_row
+        assert len(values) == expect, (len(values), expect)
+        self.columns[col.index] = [int(v) for v in values]
+
+    def set_packed_ints(self, col, row_values: list) -> None:
+        """For a B1 column with 2^v values per row: one integer per row,
+        bit i of the integer lands at value-index i (LSB first)."""
+        assert col.level == 0
+        w = 1 << col.log_values_per_row
+        out = []
+        for v in row_values:
+            for i in range(w):
+                out.append((int(v) >> i) & 1)
+        self.set_column(col, out)
+
+    def get_column(self, col) -> list:
+        return self.columns[col.index]
+
+    def get_packed_ints(self, col) -> list:
+        w = 1 << col.log_values_per_row
+        vals = self.columns[col.index]
+        out = []
+        for r in range(self.n_rows):
+            acc = 0
+            for i in range(w):
+                acc |= vals[r * w + i] << i
+            out.append(acc)
+        return out
+
+
+class WitnessIndex:
+    def __init__(self, m3_system, table_log_rows: list):
+        self.system = m3_system
+        self.table_log_rows = list(table_log_rows)
+        self.tables = [TableWitness(t, lr)
+                       for t, lr in zip(m3_system.tables, table_log_rows)]
+
+    def table(self, table_id: int) -> TableWitness:
+        return self.tables[table_id]
+
+    def to_core_witness(self, core_system, oracle_map) -> dict:
+        """Device witness dict for the core prover: committed columns from
+        the buffers, virtual columns materialized from oracle definitions."""
+        witness: dict = {}
+        for t, tw in zip(self.system.tables, self.tables):
+            for cd in t.columns:
+                if cd.kind != "committed":
+                    continue
+                oid = oracle_map[(t.table_id, cd.col.index)]
+                vals = tw.columns.get(cd.col.index)
+                assert vals is not None, f"column {cd.col.name} not filled"
+                witness[oid] = (cd.col.level, tower.from_ints(cd.col.level, vals))
+        # materialize every reachable virtual oracle used by constraints/flushes
+        for key, oid in oracle_map.items():
+            core_witness.materialize(core_system.oracles, witness, oid)
+        return witness

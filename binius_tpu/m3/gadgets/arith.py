@@ -1,0 +1,123 @@
+"""Arithmetic gadgets: u32 addition / subtraction / bitwise operations.
+
+Mirrors `crates/m3/src/gadgets/{add,sub}.rs` (ripple-carry over vertically
+packed B1 columns) and the bitwise example circuits.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from ...math.arith import ArithExpr
+from ...protocols import shift_ind
+from ..builder.table import Col, TableBuilder
+
+V = ArithExpr.var
+LOG_U32 = 5
+
+
+@dataclasses.dataclass
+class U32Add:
+    """zout = xin + yin (mod 2^32), via carry columns.
+
+    Constraints (over B1 bit columns, 32 values/row):
+      cin = cout >> 1 within the row block (carry into bit i = carry out of i-1)
+      (xin + cin)(yin + cin) + cin + cout = 0      [carry generation]
+      xin + yin + cin + zout = 0                   [sum]
+    """
+
+    xin: Col
+    yin: Col
+    zout: Col
+    cout: Col
+    cin: Col
+
+    @staticmethod
+    def build(t: TableBuilder, name: str, xin: Col, yin: Col) -> "U32Add":
+        zout = t.add_committed(f"{name}.zout", 0, LOG_U32)
+        cout = t.add_committed(f"{name}.cout", 0, LOG_U32)
+        cin = t.add_shifted(f"{name}.cin", cout, 1, LOG_U32, shift_ind.LOGICAL_RIGHT)
+        x, y, ci, z, co = (V(i) for i in range(5))
+        t.assert_zero(f"{name}.carry", [xin, yin, cin, zout, cout],
+                      (x + ci) * (y + ci) + ci + co)
+        t.assert_zero(f"{name}.sum", [xin, yin, cin, zout, cout], x + y + ci + z)
+        return U32Add(xin, yin, zout, cout, cin)
+
+    def populate(self, tw, x_rows: list, y_rows: list) -> list:
+        """Fill witness columns from per-row u32 inputs; returns z values."""
+        z_rows, cout_rows = [], []
+        for xv, yv in zip(x_rows, y_rows):
+            zv = (xv + yv) & 0xFFFFFFFF
+            carries = 0
+            cin = 0
+            for i in range(32):
+                xi, yi = (xv >> i) & 1, (yv >> i) & 1
+                cout = (xi & yi) | (cin & (xi ^ yi))
+                carries |= cout << i
+                cin = cout
+            z_rows.append(zv)
+            cout_rows.append(carries)
+        tw.set_packed_ints(self.zout, z_rows)
+        tw.set_packed_ints(self.cout, cout_rows)
+        return z_rows
+
+
+@dataclasses.dataclass
+class U32Sub:
+    """zout = xin - yin (mod 2^32), via borrow columns."""
+
+    xin: Col
+    yin: Col
+    zout: Col
+    bout: Col
+    bin_: Col
+
+    @staticmethod
+    def build(t: TableBuilder, name: str, xin: Col, yin: Col) -> "U32Sub":
+        zout = t.add_committed(f"{name}.zout", 0, LOG_U32)
+        bout = t.add_committed(f"{name}.bout", 0, LOG_U32)
+        bin_ = t.add_shifted(f"{name}.bin", bout, 1, LOG_U32, shift_ind.LOGICAL_RIGHT)
+        x, y, bi, z, bo = (V(i) for i in range(5))
+        # borrow: bo = (1+x+bi)(y+bi) + bi ; z = x + y + bi
+        t.assert_zero(f"{name}.borrow", [xin, yin, bin_, zout, bout],
+                      (x + bi + ArithExpr.const(1)) * (y + bi) + bi + bo)
+        t.assert_zero(f"{name}.diff", [xin, yin, bin_, zout, bout], x + y + bi + z)
+        return U32Sub(xin, yin, zout, bout, bin_)
+
+    def populate(self, tw, x_rows: list, y_rows: list) -> list:
+        z_rows, bout_rows = [], []
+        for xv, yv in zip(x_rows, y_rows):
+            zv = (xv - yv) & 0xFFFFFFFF
+            borrows = 0
+            bin_ = 0
+            for i in range(32):
+                xi, yi = (xv >> i) & 1, (yv >> i) & 1
+                bout = ((1 ^ xi) & (yi | bin_)) | (xi & yi & bin_)
+                borrows |= bout << i
+                bin_ = bout
+            z_rows.append(zv)
+            bout_rows.append(borrows)
+        tw.set_packed_ints(self.zout, z_rows)
+        tw.set_packed_ints(self.bout, bout_rows)
+        return z_rows
+
+
+def u32_bitwise_and(t: TableBuilder, name: str, xin: Col, yin: Col) -> Col:
+    zout = t.add_committed(f"{name}.zout", 0, LOG_U32)
+    x, y, z = V(0), V(1), V(2)
+    t.assert_zero(f"{name}.and", [xin, yin, zout], x * y + z)
+    return zout
+
+
+def u32_bitwise_xor(t: TableBuilder, name: str, xin: Col, yin: Col) -> Col:
+    zout = t.add_committed(f"{name}.zout", 0, LOG_U32)
+    x, y, z = V(0), V(1), V(2)
+    t.assert_zero(f"{name}.xor", [xin, yin, zout], x + y + z)
+    return zout
+
+
+def u32_bitwise_or(t: TableBuilder, name: str, xin: Col, yin: Col) -> Col:
+    zout = t.add_committed(f"{name}.zout", 0, LOG_U32)
+    x, y, z = V(0), V(1), V(2)
+    t.assert_zero(f"{name}.or", [xin, yin, zout], x + y + x * y + z)
+    return zout
