@@ -1,0 +1,120 @@
+"""MXU-accelerated tower field multiplication (TPU fast path).
+
+The portable base case in :mod:`tower` resolves B8 products through a 64KB
+gather table — slow on TPU. This module replaces the base case with a
+bit-matrix formulation that rides the MXU (the TPU-native analog of the
+reference's GFNI strategy, `crates/field/src/arch/x86_64/gfni/`):
+
+    out_bits[n, k] = parity( sum_{i,j} a_bits[n,i] * b_bits[n,j] * T[i,j,k] )
+
+computed as an outer product (VPU) followed by an f32 matmul with the 64x8
+multiplication tensor (exact: counts <= 64 < 2^24). The Karatsuba ladder of
+:func:`tower.mul` stays in packed uint32 ops; all three base products of a
+level-4 multiply are batched into one matmul for MXU utilization.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import scalar, tower
+
+
+@functools.lru_cache(maxsize=None)
+def _b8_mult_tensor() -> np.ndarray:
+    """T[(i*8+j), k] = bit k of (x^i * x^j) in B8, as float32 [64, 8]."""
+    t = np.zeros((64, 8), dtype=np.float32)
+    for i in range(8):
+        for j in range(8):
+            p = scalar.mul(3, 1 << i, 1 << j)
+            for k in range(8):
+                t[i * 8 + j, k] = (p >> k) & 1
+    return t
+
+
+def _unpack8(a):
+    """uint32[...]: value < 256 -> float32 [..., 8] bits."""
+    shifts = np.arange(8, dtype=np.uint32)
+    return ((a[..., None] >> shifts) & np.uint32(1)).astype(jnp.float32)
+
+
+def _pack8(bits_i32):
+    """int32 [..., 8] (0/1) -> uint32 [...]."""
+    shifts = np.arange(8, dtype=np.uint32)
+    return tower.xor_reduce(bits_i32.astype(jnp.uint32) << shifts, axis=-1)
+
+
+def mul_b8_batch(pairs):
+    """Multiply a batch of B8 pairs: pairs (..., 2) uint32 -> (...) uint32.
+
+    All pairs across the whole Karatsuba tree are flattened into one matmul.
+    """
+    a_bits = _unpack8(pairs[..., 0])                   # (..., 8)
+    b_bits = _unpack8(pairs[..., 1])
+    outer = (a_bits[..., :, None] * b_bits[..., None, :]).reshape(*pairs.shape[:-1], 64)
+    m = jnp.asarray(_b8_mult_tensor())
+    counts = jax.lax.dot_general(
+        outer, m, dimension_numbers=(((outer.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return _pack8(counts.astype(jnp.int32) & 1)
+
+
+def _collect_b8_products(level: int, a, b, out_pairs: list):
+    """Walk the Karatsuba tree collecting all B8 operand pairs; returns a
+    closure that consumes the product list (in the same order) and rebuilds
+    the result with packed XOR glue."""
+    if level <= 3:
+        idx = len(out_pairs)
+        out_pairs.append((a, b))
+        return lambda prods: prods[idx]
+    a0, a1 = tower._split(level, a)
+    b0, b1 = tower._split(level, b)
+    f0 = _collect_b8_products(level - 1, a0, b0, out_pairs)
+    f2 = _collect_b8_products(level - 1, a1, b1, out_pairs)
+    f1 = _collect_b8_products(level - 1, a0 ^ a1, b0 ^ b1, out_pairs)
+
+    def rebuild(prods):
+        z0 = f0(prods)
+        z2 = f2(prods)
+        z1 = f1(prods) ^ z0 ^ z2
+        return tower._join(level, z0 ^ z2, z1 ^ tower.mul_alpha(level - 1, z2))
+
+    return rebuild
+
+
+def mul_collect(level: int, a, b):
+    """MXU-path tower multiplication; same semantics as tower.mul.
+
+    Collects every B8 base product of the Karatsuba tree into one batched
+    matmul. Not jitted — callers (tower.mul) wrap it.
+    """
+    if level <= 3:
+        return mul_b8_batch(jnp.stack([a, b], axis=-1))
+    a = jnp.broadcast_to(a, jnp.broadcast_shapes(a.shape, b.shape))
+    b = jnp.broadcast_to(b, a.shape)
+    pairs: list = []
+    rebuild = _collect_b8_products(level, a, b, pairs)
+    stacked = jnp.stack([jnp.stack(p, axis=-1) for p in pairs], axis=-2)  # (..., P, 2)
+    prods = mul_b8_batch(stacked)                                         # (..., P)
+    prod_list = [prods[..., i] for i in range(len(pairs))]
+    return rebuild(prod_list)
+
+
+mul_fast = functools.partial(jax.jit, static_argnums=0)(mul_collect)
+
+
+def use_fast_mul() -> None:
+    """Install the MXU path as the global tower.mul base case."""
+    tower._mul_b8_orig = tower._mul_b8
+
+    def fast_b8(a, b):
+        shape = jnp.broadcast_shapes(a.shape, b.shape)
+        a = jnp.broadcast_to(a, shape)
+        b = jnp.broadcast_to(b, shape)
+        return mul_b8_batch(jnp.stack([a, b], axis=-1))
+
+    tower._mul_b8 = fast_b8

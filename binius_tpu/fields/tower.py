@@ -151,8 +151,24 @@ def _b8_invert():
     return scalar.b8_invert_table()
 
 
+_B8_IMPL = None  # resolved lazily: 'mxu' on TPU backends, 'gather' elsewhere
+
+
+def _b8_impl() -> str:
+    global _B8_IMPL
+    if _B8_IMPL is None:
+        _B8_IMPL = "mxu" if jax.default_backend() in ("tpu", "axon") else "gather"
+    return _B8_IMPL
+
+
 def _mul_b8(a, b):
     """a, b: uint32 arrays holding values < 256."""
+    if _b8_impl() == "mxu":
+        from . import fastmul
+        shape = jnp.broadcast_shapes(a.shape, b.shape)
+        a = jnp.broadcast_to(a, shape)
+        b = jnp.broadcast_to(b, shape)
+        return fastmul.mul_b8_batch(jnp.stack([a, b], axis=-1))
     idx = (a << 8) | b
     return jnp.take(_b8_mul_flat(), idx, axis=0).astype(U32)
 
@@ -201,6 +217,10 @@ def mul(level: int, a, b):
     """Element-wise tower multiplication. Shapes must broadcast."""
     if level <= 3:
         return _mul_b8(a, b)
+    if _b8_impl() == "mxu":
+        # Batch the whole Karatsuba tree's base products into one matmul.
+        from . import fastmul
+        return fastmul.mul_collect(level, a, b)
     a0, a1 = _split(level, a)
     b0, b1 = _split(level, b)
     z0 = mul(level - 1, a0, b0)
