@@ -1,16 +1,21 @@
 """Sumcheck provers (TPU device kernels + host orchestration).
 
 The round-eval computation is the prover's hot loop (reference:
-`crates/hal/src/sumcheck_round_calculation.rs`); here it is one jitted XLA
-program per (composition set, shape): split each multilinear into its X=0/X=1
-halves, extrapolate to the extra domain points, evaluate the compositions
-batch-wise and XOR-reduce. Folding binds one variable per round
+`crates/hal/src/sumcheck_round_calculation.rs`); here it is a jitted XLA
+program per (composition set, bucketed shape): split each multilinear into
+its X=0/X=1 halves, extrapolate to the extra domain points, evaluate the
+compositions batch-wise and XOR-reduce. Folding binds one variable per round
 (`crates/hal/src/sumcheck_folding.rs`).
 
-Batching follows the front-loaded scheme (`sumcheck/front_loaded.rs:33`):
+Compile amortization: multilinear buffers are padded to power-of-4 sizes and
+the *active* element count is a traced scalar, so consecutive rounds (and
+different claims with the same composition set) share compiled kernels; the
+inactive tail is masked out of the reductions. This replaces the reference's
+subcube blocking (`MAX_SRC_SUBCUBE_LOG_BITS`) as the shape-management story.
+
+Batching follows the rear-loaded scheme (`sumcheck/verify_sumcheck.rs`):
 claims sorted descending by n_vars activate when the remaining round count
-equals their n_vars; each activation samples a fresh batching coefficient and
-adds coeff * claim into the running sum.
+equals their n_vars.
 """
 
 from __future__ import annotations
@@ -19,6 +24,8 @@ import dataclasses
 import functools
 
 import jax
+import jax.numpy as jnp
+import numpy as np
 
 from ...fields import scalar, tower
 from ...math import fold, mle
@@ -27,20 +34,56 @@ from . import common
 from .common import LEVEL, SumcheckClaim
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 5))
-def _round_values_jit(comps: tuple, levels: tuple, n_vars: int, order_high: bool,
-                      mls: tuple, points: tuple):
-    """Values of each composite round polynomial at each domain point.
+def _bucket_log(log_m: int) -> int:
+    """Pad log-size up to the next even value (power-of-4 buckets)."""
+    return log_m + (log_m & 1)
 
-    Returns a (n_comps * n_points, 4)-shaped B128 array, row-major by comp.
+
+def _pad_to(level: int, data, log_size: int):
+    cur = tower.batch_shape(level, data)[0]
+    want = 1 << log_size
+    if cur == want:
+        return data
+    assert cur < want
+    pad = tower.zeros(level, (want - cur,))
+    return jnp.concatenate([data, pad], axis=0)
+
+
+def _mask01(shape_len: int, active, extra_dims: int):
+    """0/1 uint32 mask of the first `active` positions (traced scalar)."""
+    iota = jax.lax.broadcasted_iota(jnp.uint32, (shape_len, 1), 0)[:, 0]
+    m = (iota < active).astype(jnp.uint32)
+    for _ in range(extra_dims):
+        m = m[:, None]
+    return m
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 5))
+def _round_values_jit(comps: tuple, levels: tuple, log_padded: int, order_high: bool,
+                      mls: tuple, points: tuple, active):
+    """Values of each composite round polynomial at each domain point, with
+    the active prefix length `active` (traced) masked into the reduction.
+
+    Returns (n_comps * n_points, 4) B128 rows.
     """
+    half = 1 << (log_padded - 1)
+    act_half = active >> 1
     halves = []
     for lvl, data in zip(levels, mls):
-        e0, e1 = fold.evals_01(lvl, data, n_vars, order_high)
+        if order_high:
+            e0 = jax.lax.slice_in_dim(data, 0, half, axis=0)
+            e1 = jax.lax.dynamic_slice_in_dim(data, act_half, half, axis=0)
+        else:
+            d = data.reshape(tower.elem_shape(lvl, (half, 2)))
+            if tower.has_limb_dim(lvl):
+                e0, e1 = d[:, 0, :], d[:, 1, :]
+            else:
+                e0, e1 = d[:, 0], d[:, 1]
         if lvl < LEVEL:
             e0 = tower.embed(lvl, LEVEL, e0)
             e1 = tower.embed(lvl, LEVEL, e1)
         halves.append((e0, e1))
+    mask = _mask01(half, act_half, 1 if tower.has_limb_dim(LEVEL) else 0)
     out_rows = []
     for comp in comps:
         for x in points:
@@ -52,9 +95,32 @@ def _round_values_jit(comps: tuple, levels: tuple, n_vars: int, order_high: bool
                 xc = tower.full(LEVEL, (), x)
                 rows = [fold.extrapolate_line(LEVEL, h[0], h[1], xc) for h in halves]
             v = comp.evaluate(LEVEL, rows)
+            v = jnp.where(mask.astype(bool), v, jnp.zeros_like(v))
             out_rows.append(tower.xor_reduce(v, axis=0))
-    import jax.numpy as jnp
     return jnp.stack(out_rows)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _fold_jit(level: int, log_padded: int, order_high: bool, data, r, active):
+    """Fold one variable on a padded buffer; result stays padded at the same
+    size with the active prefix halved (tail = garbage, masked downstream)."""
+    half = 1 << (log_padded - 1)
+    act_half = active >> 1
+    if order_high:
+        e0 = jax.lax.slice_in_dim(data, 0, half, axis=0)
+        e1 = jax.lax.dynamic_slice_in_dim(data, act_half, half, axis=0)
+    else:
+        d = data.reshape(tower.elem_shape(level, (half, 2)))
+        if tower.has_limb_dim(level):
+            e0, e1 = d[:, 0, :], d[:, 1, :]
+        else:
+            e0, e1 = d[:, 0], d[:, 1]
+    if level < LEVEL:
+        e0 = tower.embed(level, LEVEL, e0)
+        e1 = tower.embed(level, LEVEL, e1)
+    folded = fold.extrapolate_line(LEVEL, e0, e1, r)
+    pad = jnp.zeros_like(folded)
+    return jnp.concatenate([folded, pad], axis=0)
 
 
 class RegularSumcheckProver:
@@ -70,10 +136,11 @@ class RegularSumcheckProver:
                  eq_ind_challenges: tuple | None = None):
         assert len(multilinears) == claim.n_multilinears
         self.claim = claim
-        self.mls = list(multilinears)
         self.order_high = order_high
         self.eq_ind_challenges = eq_ind_challenges
         self.n_remaining = claim.n_vars
+        self.log_padded = max(_bucket_log(claim.n_vars), 1) if claim.n_vars else 0
+        self.mls = [(lvl, _pad_to(lvl, d, self.log_padded)) for lvl, d in multilinears]
         deg = claim.max_individual_degree()
         self.domain = EvaluationDomain.from_subspace(3, deg + 1)
 
@@ -87,8 +154,9 @@ class RegularSumcheckProver:
         levels = tuple(lvl for lvl, _ in self.mls)
         datas = tuple(d for _, d in self.mls)
         pts = self.domain.points
-        vals = _round_values_jit(comps, levels, self.n_remaining, self.order_high,
-                                 datas, pts)
+        active = jnp.uint32(1 << self.n_remaining)
+        vals = _round_values_jit(comps, levels, self.log_padded, self.order_high,
+                                 datas, pts, active)
         flat = tower.to_ints(LEVEL, vals)
         n_pts = len(pts)
         out = []
@@ -99,23 +167,28 @@ class RegularSumcheckProver:
 
     def fold(self, challenge: int) -> None:
         ch = tower.from_ints(LEVEL, [challenge])[0]
+        active = jnp.uint32(1 << self.n_remaining)
         new = []
         for lvl, data in self.mls:
-            if self.order_high:
-                olvl, od = fold.fold_high(lvl, data, self.n_remaining, LEVEL, ch)
-            else:
-                olvl, od = fold.fold_low(lvl, data, self.n_remaining, LEVEL, ch)
-            new.append((olvl, od))
-        self.mls = new
+            folded = _fold_jit(lvl, self.log_padded, self.order_high, data, ch, active)
+            new.append((LEVEL, folded))
         self.n_remaining -= 1
+        # NB: _fold_jit keeps the buffer size (folded half + zero pad), so
+        # log_padded is unchanged until an explicit shrink below.
+        # re-bucket: shrink the buffer when it falls out of the power-of-4 bucket
+        target = max(_bucket_log(self.n_remaining), 0)
+        if self.log_padded > target:
+            new = [(lvl, jax.lax.slice_in_dim(d, 0, 1 << target, axis=0))
+                   for lvl, d in new]
+            self.log_padded = target
+        self.mls = new
 
     def finish(self) -> list[int]:
         """Multilinear evaluations at the bound point (all rounds folded)."""
         assert self.n_remaining == 0
         out = []
         for lvl, data in self.mls:
-            v = tower.to_ints(lvl, data)[0]
-            out.append(v)
+            out.append(tower.to_ints(lvl, data)[0])
         return out
 
 
@@ -126,7 +199,7 @@ class BatchSumcheckOutput:
 
 
 def batch_prove(provers: list, transcript) -> BatchSumcheckOutput:
-    """Front-loaded batched sumcheck proving; writes to `transcript`.
+    """Rear-loaded batched sumcheck proving; writes to `transcript`.
 
     Provers must be sorted descending by n_vars. All provers must share the
     same evaluation order.

@@ -1,0 +1,69 @@
+"""BinaryField32b multiplication example (counterpart of `examples/b32_mul.rs`).
+
+Proves 2^log_n_muls B32 products c = a * b. Usage:
+    python examples/b32_mul.py --log-n-muls 10
+"""
+
+import argparse
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/binius_tpu_jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--log-n-muls", type=int, default=8)
+    ap.add_argument("--log-inv-rate", type=int, default=1)
+    args = ap.parse_args()
+
+    from binius_tpu.constraint_system import oracle as om
+    from binius_tpu.constraint_system import prove as csp
+    from binius_tpu.constraint_system.system import (ConstraintSet, ConstraintSystem,
+                                                     validate_witness)
+    from binius_tpu.fields import scalar, tower
+    from binius_tpu.math.arith import ArithExpr
+
+    random.seed(0)
+    n_vars = args.log_n_muls
+    n = 1 << n_vars
+    print(f"b32_mul: proving {n} B32 multiplications on {jax.devices()[0]}")
+
+    oracles = om.OracleSet()
+    a_id = oracles.add_committed(n_vars, 5, "a")
+    b_id = oracles.add_committed(n_vars, 5, "b")
+    c_id = oracles.add_committed(n_vars, 5, "c")
+    A, B, C = (ArithExpr.var(i) for i in range(3))
+    system = ConstraintSystem(
+        oracles, [ConstraintSet(n_vars, (a_id, b_id, c_id), (A * B + C,))])
+
+    t0 = time.perf_counter()
+    a_vals = [random.getrandbits(32) for _ in range(n)]
+    b_vals = [random.getrandbits(32) for _ in range(n)]
+    c_vals = [scalar.mul(5, x, y) for x, y in zip(a_vals, b_vals)]
+    witness = {a_id: (5, tower.from_ints(5, a_vals)),
+               b_id: (5, tower.from_ints(5, b_vals)),
+               c_id: (5, tower.from_ints(5, c_vals))}
+    t1 = time.perf_counter()
+    print(f"trace-gen-time: {(t1 - t0) * 1e3:.1f} ms")
+
+    validate_witness(system, witness)
+    t2 = time.perf_counter()
+    proof = csp.prove(system, witness, log_inv_rate=args.log_inv_rate)
+    t3 = time.perf_counter()
+    print(f"prove-time: {(t3 - t2) * 1e3:.1f} ms")
+    print(f"proof-size: {len(proof)} bytes")
+    csp.verify(system, proof, log_inv_rate=args.log_inv_rate)
+    t4 = time.perf_counter()
+    print(f"verify-time: {(t4 - t3) * 1e3:.1f} ms")
+
+
+if __name__ == "__main__":
+    main()

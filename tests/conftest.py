@@ -16,5 +16,8 @@ import jax  # noqa: E402  (already imported by sitecustomize; this is a no-op)
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_traceback_filtering", "off")
-jax.config.update("jax_compilation_cache_dir", "/tmp/binius_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NOTE: no persistent compilation cache here. The XLA:CPU AOT executables
+# this jax version serializes embed compile-machine features
+# (amx / prefer-no-scatter) and SIGABRT/SIGSEGV when reloaded in a later
+# process on this host. In-process jit caching still covers the suite; the
+# TPU runs (bench/examples) keep their own cache dir, which is unaffected.

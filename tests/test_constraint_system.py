@@ -75,16 +75,12 @@ def test_validate_witness():
         validate_witness(system, bad)
 
 
-def test_u32_add_prove_verify():
+def test_u32_add_prove_verify_and_tamper():
     system, witness = build_u32_add()
     proof = csp.prove(system, witness)
     csp.verify(system, proof)
     assert len(proof) < 60_000, f"proof unexpectedly large: {len(proof)}"
-
-
-def test_u32_add_tamper_rejected():
-    system, witness = build_u32_add()
-    proof = bytearray(csp.prove(system, witness))
+    proof = bytearray(proof)
     rejected = 0
     for frac in (3, 2, 1.5, 1.1):
         bad = bytearray(proof)
@@ -94,6 +90,7 @@ def test_u32_add_tamper_rejected():
         except (ValueError, EOFError, AssertionError):
             rejected += 1
     assert rejected == 4
+
 
 
 def test_u32_add_wrong_witness_rejected():

@@ -19,7 +19,7 @@ def eval_direct(level, data, n_vars, point):
     return tower.to_ints(LEVEL, v[None, :])[0]
 
 
-def build_system(n=6, b=4, offset=3):
+def build_system(n=5, b=3, offset=3):
     oracles = om.OracleSet()
     a_id = oracles.add_committed(n, 0, "a")
     s_id = oracles.add_shifted(a_id, offset, b, shift_ind.LOGICAL_LEFT, "a_shift")
@@ -41,7 +41,7 @@ def build_system(n=6, b=4, offset=3):
 
 
 def test_evalcheck_roundtrip():
-    n = 6
+    n = 5
     oracles, witness, (a_id, s_id, c_id, lc_id) = build_system(n)
     point = tuple(random.getrandbits(128) for _ in range(n))
     ev = eval_direct(*witness[lc_id], n, point)
@@ -63,7 +63,7 @@ def test_evalcheck_roundtrip():
 
 
 def test_evalcheck_dedup():
-    n = 6
+    n = 5
     oracles, witness, (a_id, s_id, c_id, lc_id) = build_system(n)
     point = tuple(random.getrandbits(128) for _ in range(n))
     ev_s = eval_direct(*witness[s_id], n, point)
@@ -81,7 +81,7 @@ def test_evalcheck_dedup():
 
 
 def test_evalcheck_wrong_eval_rejected():
-    n = 6
+    n = 5
     oracles, witness, (a_id, s_id, c_id, lc_id) = build_system(n)
     point = tuple(random.getrandbits(128) for _ in range(n))
     ev = eval_direct(*witness[s_id], n, point) ^ 1

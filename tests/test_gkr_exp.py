@@ -31,8 +31,8 @@ def mk_instance(n_vars, n_bits, base):
 
 def test_static_exp_roundtrip():
     g = 0x2D  # B8 generator embedded in B128
-    c1, w1, bits1 = mk_instance(4, 3, g)
-    c2, w2, bits2 = mk_instance(3, 2, scalar.GENERATORS[7])
+    c1, w1, bits1 = mk_instance(3, 2, g)
+    c2, w2, bits2 = mk_instance(2, 2, scalar.GENERATORS[7])
     pt = ProverTranscript()
     out = gkr_exp.batch_prove([c1, c2], [w1, w2], pt)
     vt = VerifierTranscript(pt.finalize())
@@ -40,7 +40,7 @@ def test_static_exp_roundtrip():
     vt.finalize()
     assert out.bit_claims == ver.bit_claims
     # exported bit claims match the actual bit multilinears
-    for claims, bits, n in ((ver.bit_claims[0], bits1, 4), (ver.bit_claims[1], bits2, 3)):
+    for claims, bits, n in ((ver.bit_claims[0], bits1, 3), (ver.bit_claims[1], bits2, 2)):
         for k, point, ev in claims:
             data = tower.from_ints(0, bits[k])
             _, v = mle.evaluate(0, data, n, LEVEL, tower.from_ints(LEVEL, list(point)))
@@ -48,7 +48,7 @@ def test_static_exp_roundtrip():
 
 
 def test_static_exp_wrong_eval_rejected():
-    c, w, _ = mk_instance(3, 3, scalar.GENERATORS[7])
+    c, w, _ = mk_instance(2, 2, scalar.GENERATORS[7])
     bad = gkr_exp.StaticExpClaim(c.n_vars, c.n_bits, c.base, c.eval_point, c.eval ^ 1)
     pt = ProverTranscript()
     gkr_exp.batch_prove([bad], [w], pt)

@@ -32,10 +32,10 @@ def test_witness_layers():
 
 
 def test_batch_prove_verify():
-    v1, d1, p1 = mk(4)
+    v1, d1, p1 = mk(3)
     v2, d2, p2 = mk(2)
-    claims = [gkr_gpa.GrandProductClaim(4, p1), gkr_gpa.GrandProductClaim(2, p2)]
-    wits = [gkr_gpa.GrandProductWitness.compute(4, d1),
+    claims = [gkr_gpa.GrandProductClaim(3, p1), gkr_gpa.GrandProductClaim(2, p2)]
+    wits = [gkr_gpa.GrandProductWitness.compute(3, d1),
             gkr_gpa.GrandProductWitness.compute(2, d2)]
     pt = ProverTranscript()
     out = gkr_gpa.batch_prove(claims, wits, pt)
@@ -46,7 +46,7 @@ def test_batch_prove_verify():
     assert out.eval_points == ver.eval_points
     # reduced claims hold against the actual multilinears
     for (point, ev), (n, data) in zip(zip(ver.eval_points, ver.evals),
-                                      [(4, d1), (2, d2)]):
+                                      [(3, d1), (2, d2)]):
         _, v = mle.evaluate(LEVEL, data, n, LEVEL, tower.from_ints(LEVEL, point))
         assert tower.to_ints(LEVEL, v[None, :])[0] == ev
 

@@ -4,8 +4,8 @@ import random
 
 import pytest
 
-from binius_tpu.constraint_system import prove as csp
 from binius_tpu.constraint_system.system import validate_witness
+from binius_tpu.m3.builder.test_utils import validate_system_witness
 from binius_tpu.m3.builder.table import M3ConstraintSystem
 from binius_tpu.m3.builder.witness import WitnessIndex
 from binius_tpu.m3.gadgets import arith
@@ -34,9 +34,7 @@ def build_u32add_m3(log_rows=2):
 
 def test_m3_u32add_validate_and_prove():
     core, witness = build_u32add_m3()
-    validate_witness(core, witness)
-    proof = csp.prove(core, witness)
-    csp.verify(core, proof)
+    validate_system_witness(core, witness)
 
 
 def test_m3_sub_and_bitwise():
@@ -62,9 +60,7 @@ def test_m3_sub_and_bitwise():
     tw.set_packed_ints(xor_out, [x ^ y for x, y in zip(xs, ys)])
     tw.set_packed_ints(or_out, [x | y for x, y in zip(xs, ys)])
     witness = wi.to_core_witness(core, omap)
-    validate_witness(core, witness)
-    proof = csp.prove(core, witness)
-    csp.verify(core, proof)
+    validate_system_witness(core, witness)
 
 
 def test_m3_bad_witness_detected():

@@ -51,7 +51,7 @@ def test_eq_ind_mle_matches_host_eval():
 
 def test_ring_switch_reduction_completeness():
     """sum_v packed(v) * A(v) == row-batched eval, for a real witness."""
-    level, n = 0, 9  # B1, 9 vars -> packed 2 vars
+    level, n = 0, 8  # B1, 8 vars -> packed 1 var
     vals, wit = mk_witness(level, n)
     point = [random.getrandbits(128) for _ in range(n)]
     ev = eval_witness(level, wit[1], n, point)
@@ -78,7 +78,7 @@ def test_ring_switch_reduction_completeness():
 
 
 def test_ring_switch_wrong_eval_rejected():
-    level, n = 5, 6
+    level, n = 5, 5
     vals, wit = mk_witness(level, n)
     point = [random.getrandbits(128) for _ in range(n)]
     ev = eval_witness(level, wit[1], n, point) ^ 1
@@ -93,23 +93,23 @@ def test_ring_switch_wrong_eval_rejected():
 def test_full_commitment_opening_slice():
     """End-to-end: commit small-field multilinears, open evals via
     ring_switch + PIOP + FRI — the core of the FRI-Binius PCS."""
-    # witnesses: B1/9vars (packed 2), B32/6vars (packed 4), B8/8vars (packed 4)
-    w0_vals, w0 = mk_witness(0, 9)
-    w1_vals, w1 = mk_witness(5, 6)
-    w2_vals, w2 = mk_witness(3, 8)
+    # witnesses: B1/8vars (packed 1), B32/5vars (packed 3), B8/7vars (packed 3)
+    w0_vals, w0 = mk_witness(0, 8)
+    w1_vals, w1 = mk_witness(5, 5)
+    w2_vals, w2 = mk_witness(3, 7)
     witnesses = [w0, w1, w2]
-    commit_meta = piop.CommitMeta((0, 0, 1, 0, 2))
-    params = fri_mod.FRIParams(log_dim=4, log_inv_rate=1, log_batch_size=2,
+    commit_meta = piop.CommitMeta((0, 1, 0, 2))
+    params = fri_mod.FRIParams(log_dim=3, log_inv_rate=1, log_batch_size=2,
                                fold_arities=(2, 2), n_test_queries=3)
     packed = []
     for lvl, data in witnesses:
-        n = {0: 9, 5: 6, 3: 8}[lvl]
+        n = {0: 8, 5: 5, 3: 7}[lvl]
         packed.append(piop.pack_multilinear(lvl, data, n))
     packed_mles = [(d, nv) for d, nv in packed]
 
-    points = [[random.getrandbits(128) for _ in range(n)] for n in (9, 6, 8)]
+    points = [[random.getrandbits(128) for _ in range(n)] for n in (8, 5, 7)]
     evals = [eval_witness(lvl, data, n, p)
-             for (lvl, data), n, p in zip(witnesses, (9, 6, 8), points)]
+             for (lvl, data), n, p in zip(witnesses, (8, 5, 7), points)]
     claims = [ring_switch.RingSwitchEvalClaim(i, witnesses[i][0], tuple(points[i]), evals[i])
               for i in range(3)]
 

