@@ -63,10 +63,19 @@ class StaticExpWitness:
         return self.layers[-1]
 
 
-def _layer_composition(ck: int) -> CompositionPoly:
-    """eq * V * (1 + c_k * b): vars (eq, V, b)."""
-    eq, v, b = ArithExpr.var(0), ArithExpr.var(1), ArithExpr.var(2)
-    return CompositionPoly(eq * (v * (ArithExpr.const(1) + ArithExpr.const(ck, 7) * b)), 3)
+# One shared composition for every layer: the layer constant c_k enters as a
+# fourth (constant-valued) multilinear so all layers reuse one compiled
+# kernel; the verifier checks its claimed eval equals c_k directly.
+_LAYER_COMP = None
+
+
+def _layer_composition() -> CompositionPoly:
+    """eq * V * (1 + C * b): vars (eq, V, b, C) with C the constant column."""
+    global _LAYER_COMP
+    if _LAYER_COMP is None:
+        eq, v, b, c = (ArithExpr.var(i) for i in range(4))
+        _LAYER_COMP = CompositionPoly(eq * (v * (ArithExpr.const(1) + c * b)), 4)
+    return _LAYER_COMP
 
 
 @dataclasses.dataclass
@@ -86,18 +95,19 @@ def batch_prove(claims: list[StaticExpClaim], witnesses: list[StaticExpWitness],
         active = [j for j, c in enumerate(claims)
                   if c.n_bits > k_down]
         # process layer index k = n_bits-1-k_down per claim (top layer first)
-        sc_claims, provers, eq_pts = [], [], []
+        sc_claims, provers, cks = [], [], []
         for j in active:
             c = claims[j]
             k = c.n_bits - 1 - k_down
             ck = scalar.pow(LEVEL, c.base, 1 << k) ^ 1
-            comp = _layer_composition(ck)
-            sc_claims.append(SumcheckClaim(c.n_vars, 3,
-                                           (CompositeSumClaim(comp, values[j]),)))
+            cks.append(ck)
+            sc_claims.append(SumcheckClaim(c.n_vars, 4,
+                                           (CompositeSumClaim(_layer_composition(), values[j]),)))
             eq_ml = sc_prove.eq_ind_expansion_multilinear(points[j])
             w = witnesses[j]
+            ck_ml = (LEVEL, tower.full(LEVEL, (1 << c.n_vars,), ck))
             provers.append(sc_prove.RegularSumcheckProver(
-                sc_claims[-1], [eq_ml, (LEVEL, w.layers[k]), (0, w.bits[k])],
+                sc_claims[-1], [eq_ml, (LEVEL, w.layers[k]), (0, w.bits[k]), ck_ml],
                 order_high=False, eq_ind_challenges=tuple(points[j])))
         order = sorted(range(len(active)), key=lambda i: -sc_claims[i].n_vars)
         out = sc_prove.batch_prove([provers[i] for i in order], transcript)
@@ -106,7 +116,7 @@ def batch_prove(claims: list[StaticExpClaim], witnesses: list[StaticExpWitness],
             j = active[oi]
             c = claims[j]
             k = c.n_bits - 1 - k_down
-            _, v_eval, b_eval = evals
+            _, v_eval, b_eval, _ck_eval = evals
             pt = sc_verify.claim_point(n_rounds, c.n_vars, out.challenges, False)
             bit_claims[j].append((k, tuple(pt), b_eval))
             points[j] = list(pt)
@@ -121,13 +131,14 @@ def batch_verify(claims: list[StaticExpClaim], transcript) -> ExpOutput:
     bit_claims = [[] for _ in claims]
     for k_down in range(max_bits):
         active = [j for j, c in enumerate(claims) if c.n_bits > k_down]
-        sc_claims, eq_pts = [], []
+        sc_claims, eq_pts, cks = [], [], []
         for j in active:
             c = claims[j]
             k = c.n_bits - 1 - k_down
             ck = scalar.pow(LEVEL, c.base, 1 << k) ^ 1
-            sc_claims.append(SumcheckClaim(c.n_vars, 3,
-                                           (CompositeSumClaim(_layer_composition(ck), values[j]),)))
+            cks.append(ck)
+            sc_claims.append(SumcheckClaim(c.n_vars, 4,
+                                           (CompositeSumClaim(_layer_composition(), values[j]),)))
             eq_pts.append(list(points[j]))
         order = sorted(range(len(active)), key=lambda i: -sc_claims[i].n_vars)
         ver = sc_verify.batch_verify([sc_claims[i] for i in order], transcript, False,
@@ -137,7 +148,9 @@ def batch_verify(claims: list[StaticExpClaim], transcript) -> ExpOutput:
             j = active[oi]
             c = claims[j]
             k = c.n_bits - 1 - k_down
-            _, v_eval, b_eval = evals
+            _, v_eval, b_eval, ck_eval = evals
+            if ck_eval != cks[oi]:
+                raise ValueError("exp layer constant evaluation mismatch")
             pt = sc_verify.claim_point(n_rounds, c.n_vars, ver.challenges, False)
             bit_claims[j].append((k, tuple(pt), b_eval))
             points[j] = list(pt)
