@@ -89,12 +89,27 @@ class TableBuilder:
         self.columns.append(_ColumnDef(c, "constant", constant=value))
         return c
 
+    def add_fixed(self, name: str, level: int, pattern: list,
+                  log_values_per_row: int) -> Col:
+        """Column repeating a public per-row pattern of 2^v values (the
+        reference's `add_fixed`, `builder/table.rs`)."""
+        assert len(pattern) == 1 << log_values_per_row
+        c = self._new_col(level, log_values_per_row, name)
+        self.columns.append(_ColumnDef(c, "fixed", inner=tuple(int(v) for v in pattern)))
+        return c
+
     # -- constraints -------------------------------------------------------
-    def assert_zero(self, name: str, cols: list, expr: ArithExpr) -> None:
-        """expr is over var(i) = cols[i]; all cols share values-per-row."""
+    def assert_zero(self, name: str, cols: list, expr: ArithExpr,
+                    group: str = "") -> None:
+        """expr is over var(i) = cols[i]; all cols share values-per-row.
+
+        Constraints with the same `group` lower into one ConstraintSet (one
+        batched zerocheck claim); structurally identical groups then share
+        compiled round kernels.
+        """
         vpr = cols[0].log_values_per_row
         assert all(c.log_values_per_row == vpr for c in cols)
-        self.zero_constraints.append((name, vpr, expr, tuple(cols)))
+        self.zero_constraints.append((name, vpr, expr, tuple(cols), group))
 
     # -- flushes -----------------------------------------------------------
     def push(self, channel_id: int, cols: list, multiplicity: int = 1) -> None:
@@ -158,11 +173,16 @@ class M3ConstraintSystem:
                     from ...protocols.transparent import Constant
                     tp = Constant(n_vars, cd.constant, col.level)
                     oracle_map[key] = oracles.add_transparent(tp, nm)
-            # group zero constraints by values-per-row partition
+                elif cd.kind == "fixed":
+                    from ...protocols.transparent import MLEFromValues
+                    tp = MLEFromValues(cd.inner, col.level)
+                    tid = oracles.add_transparent(tp, nm + ".pattern")
+                    oracle_map[key] = oracles.add_repeating(tid, log_rows, nm)
+            # group zero constraints by (values-per-row, group) partition
             by_vpr: dict = {}
-            for name, vpr, expr, cols in t.zero_constraints:
-                by_vpr.setdefault(vpr, []).append((name, expr, cols))
-            for vpr, entries in sorted(by_vpr.items()):
+            for name, vpr, expr, cols, group in t.zero_constraints:
+                by_vpr.setdefault((vpr, group), []).append((name, expr, cols))
+            for (vpr, group), entries in sorted(by_vpr.items()):
                 # union of columns used, deterministic order
                 col_list = []
                 for _, _, cols in entries:

@@ -98,6 +98,29 @@ class StepUp:
 
 
 @dataclasses.dataclass(frozen=True)
+class MLEFromValues:
+    """Multilinear with small public evaluation vector
+    (`transparent/multilinear_extension.rs`)."""
+
+    values: tuple  # 2^n_vars ints at `level`
+    level: int
+
+    @property
+    def n_vars(self) -> int:
+        return (len(self.values) - 1).bit_length()
+
+    def evaluate_scalar(self, q: list[int]) -> int:
+        cur = [int(v) for v in self.values]
+        for r in q:
+            cur = [cur[2 * i] ^ scalar.mul(LEVEL, cur[2 * i] ^ cur[2 * i + 1], r)
+                   for i in range(len(cur) // 2)]
+        return cur[0]
+
+    def mle(self):
+        return self.level, tower.from_ints(self.level, list(self.values))
+
+
+@dataclasses.dataclass(frozen=True)
 class Powers:
     """X -> prod_i base^(2^i * x_i): evals are base^0, base^1, ... base^(2^n-1)
     (`transparent/powers.rs`)."""
