@@ -1,0 +1,70 @@
+"""Keccak-f permutation example circuit (counterpart of `examples/keccak.rs`).
+
+Proves 2^log_n_permutations Keccak-f[1600] permutations. Usage:
+    python examples/keccak.py --log-n-permutations 3
+"""
+
+import argparse
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/binius_tpu_jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--log-n-permutations", type=int, default=1)
+    ap.add_argument("--log-inv-rate", type=int, default=1)
+    ap.add_argument("--skip-prove", action="store_true",
+                    help="only build + validate the witness")
+    args = ap.parse_args()
+
+    from binius_tpu.constraint_system import prove as csp
+    from binius_tpu.constraint_system.system import validate_witness
+    from binius_tpu.m3.builder.table import M3ConstraintSystem
+    from binius_tpu.m3.builder.witness import WitnessIndex
+    from binius_tpu.m3.gadgets.keccak import KeccakF, keccak_f
+
+    random.seed(0)
+    n = 1 << args.log_n_permutations
+    print(f"keccak: proving {n} Keccak-f[1600] permutations on {jax.devices()[0]}")
+
+    m3 = M3ConstraintSystem()
+    t = m3.add_table("keccak")
+    state_in = [t.add_committed(f"in{i}", 0, 6) for i in range(25)]
+    gadget = KeccakF.build(t, "kf", state_in)
+    core, omap = m3.compile([args.log_n_permutations])
+
+    t0 = time.perf_counter()
+    wi = WitnessIndex(m3, [args.log_n_permutations])
+    tw = wi.table(0)
+    rows = [[random.getrandbits(64) for _ in range(25)] for _ in range(n)]
+    outs = gadget.populate(tw, rows)
+    assert outs[0] == keccak_f(rows[0])
+    witness = wi.to_core_witness(core, omap)
+    t1 = time.perf_counter()
+    print(f"trace-gen-time: {(t1 - t0) * 1e3:.1f} ms")
+
+    validate_witness(core, witness)
+    t2 = time.perf_counter()
+    print(f"validate-time: {(t2 - t1) * 1e3:.1f} ms")
+    if args.skip_prove:
+        return
+    proof = csp.prove(core, witness, log_inv_rate=args.log_inv_rate)
+    t3 = time.perf_counter()
+    print(f"prove-time: {(t3 - t2) * 1e3:.1f} ms")
+    print(f"proof-size: {len(proof)} bytes")
+    csp.verify(core, proof, log_inv_rate=args.log_inv_rate)
+    t4 = time.perf_counter()
+    print(f"verify-time: {(t4 - t3) * 1e3:.1f} ms")
+
+
+if __name__ == "__main__":
+    main()
