@@ -33,14 +33,17 @@ class U32Add:
     cin: Col
 
     @staticmethod
-    def build(t: TableBuilder, name: str, xin: Col, yin: Col) -> "U32Add":
+    def build(t: TableBuilder, name: str, xin: Col, yin: Col,
+              group: str = None) -> "U32Add":
+        group = name if group is None else group
         zout = t.add_committed(f"{name}.zout", 0, LOG_U32)
         cout = t.add_committed(f"{name}.cout", 0, LOG_U32)
         cin = t.add_shifted(f"{name}.cin", cout, 1, LOG_U32, shift_ind.LOGICAL_RIGHT)
         x, y, ci, z, co = (V(i) for i in range(5))
         t.assert_zero(f"{name}.carry", [xin, yin, cin, zout, cout],
-                      (x + ci) * (y + ci) + ci + co)
-        t.assert_zero(f"{name}.sum", [xin, yin, cin, zout, cout], x + y + ci + z)
+                      (x + ci) * (y + ci) + ci + co, group=group)
+        t.assert_zero(f"{name}.sum", [xin, yin, cin, zout, cout], x + y + ci + z,
+                      group=group)
         return U32Add(xin, yin, zout, cout, cin)
 
     def populate(self, tw, x_rows: list, y_rows: list) -> list:
