@@ -28,7 +28,7 @@ from ..math.arith import ArithExpr, CompositionPoly
 from . import fri as fri_mod
 from .sumcheck import front_loaded
 from .sumcheck.common import LEVEL, CompositeSumClaim, SumcheckClaim
-from .sumcheck.prove import RegularSumcheckProver
+from .sumcheck.prove import BivariateSumcheckProver
 
 
 @dataclasses.dataclass(frozen=True)
@@ -168,7 +168,7 @@ def prove(fri_params: fri_mod.FRIParams, commit_meta: CommitMeta, codeword, tree
         mls = ([(7, packed_mles[i][0]) for i in range(c0, c1)]
                + [(7, transparent_mles[i][0]) for i in range(t0, t1)])
         claim = SumcheckClaim(k, len(mls), tuple(comps))
-        provers.append(RegularSumcheckProver(claim, mls, order_high=True))
+        provers.append(BivariateSumcheckProver(claim, mls, order_high=True))
     batch = front_loaded.FrontLoadedBatchProver(provers, transcript)
     folder = fri_mod.FRIFolder(fri_params, codeword, tree)
     for _ in range(commit_meta.total_vars):

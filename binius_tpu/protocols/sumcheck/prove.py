@@ -192,6 +192,122 @@ class RegularSumcheckProver:
         return out
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _biv_round_values_jit(log_padded: int, order_high: bool, stack, idx_a, idx_b,
+                          active):
+    """Bivariate-product round values: stack [m, padded, limbs]; idx_a/idx_b
+    [n_comps] traced row indices. Returns (3 * n_comps, 4): values at
+    X = 0, 1, 2 grouped per point."""
+    half = 1 << (log_padded - 1)
+    act_half = active >> 1
+    if order_high:
+        e0 = jax.lax.slice_in_dim(stack, 0, half, axis=1)
+        e1 = jax.lax.dynamic_slice_in_dim(stack, act_half, half, axis=1)
+    else:
+        d = stack.reshape(stack.shape[0], half, 2, 4)
+        e0, e1 = d[:, :, 0, :], d[:, :, 1, :]
+    mask = _mask01(half, act_half, 1)[None, :, :]
+    two = tower.full(LEVEL, (), 2)
+    rows = []
+    for which in range(3):
+        if which == 0:
+            e = e0
+        elif which == 1:
+            e = e1
+        else:
+            e = fold.extrapolate_line(LEVEL, e0, e1, two)
+        a = jnp.take(e, idx_a, axis=0)
+        b = jnp.take(e, idx_b, axis=0)
+        prod = tower.mul(LEVEL, a, b)
+        prod = jnp.where(mask.astype(bool), prod, jnp.zeros_like(prod))
+        rows.append(tower.xor_reduce(prod, axis=1))  # (n_comps, 4)
+    return jnp.concatenate(rows, axis=0)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _biv_fold_jit(log_padded: int, order_high: bool, stack, r, active):
+    half = 1 << (log_padded - 1)
+    act_half = active >> 1
+    if order_high:
+        e0 = jax.lax.slice_in_dim(stack, 0, half, axis=1)
+        e1 = jax.lax.dynamic_slice_in_dim(stack, act_half, half, axis=1)
+    else:
+        d = stack.reshape(stack.shape[0], half, 2, 4)
+        e0, e1 = d[:, :, 0, :], d[:, :, 1, :]
+    folded = fold.extrapolate_line(LEVEL, e0, e1, r)
+    return jnp.concatenate([folded, jnp.zeros_like(folded)], axis=1)
+
+
+class BivariateSumcheckProver:
+    """Specialized prover for claims whose composites are all products of two
+    multilinears (the PIOP shape) — the analog of the reference's v3
+    `BivariateSumcheckProver` (`sumcheck/v3/bivariate_product.rs:27`).
+
+    Multilinear indices enter the kernel as traced arrays, so claims of any
+    width share one compiled kernel per shape bucket.
+    """
+
+    eq_ind_challenges = None
+
+    def __init__(self, claim: SumcheckClaim, multilinears, order_high: bool = True):
+        assert len(multilinears) == claim.n_multilinears
+        self.claim = claim
+        self.order_high = order_high
+        self.n_remaining = claim.n_vars
+        self.log_padded = max(_bucket_log(claim.n_vars), 1) if claim.n_vars else 0
+        cols = []
+        for lvl, d in multilinears:
+            if lvl < LEVEL:
+                d = tower.embed(lvl, LEVEL, d)
+            cols.append(_pad_to(LEVEL, d, self.log_padded))
+        self.stack = jnp.stack(cols, axis=0)  # (m, padded, 4)
+        idx_a, idx_b = [], []
+        for cs in claim.composite_sums:
+            expr = cs.composition.expr
+            assert expr.op == "mul" and expr.args[0].op == "var" and expr.args[1].op == "var", \
+                "BivariateSumcheckProver requires pure product compositions"
+            idx_a.append(expr.args[0].value)
+            idx_b.append(expr.args[1].value)
+        self.idx_a = jnp.asarray(np.array(idx_a, dtype=np.int32))
+        self.idx_b = jnp.asarray(np.array(idx_b, dtype=np.int32))
+        self.domain = EvaluationDomain.from_subspace(3, 3)
+
+    @property
+    def n_vars(self) -> int:
+        return self.claim.n_vars
+
+    def compute_round_polys(self) -> list[list[int]]:
+        if not len(self.idx_a):
+            return []
+        active = jnp.uint32(1 << self.n_remaining)
+        vals = _biv_round_values_jit(self.log_padded, self.order_high, self.stack,
+                                     self.idx_a, self.idx_b, active)
+        n_c = len(self.claim.composite_sums)
+        flat3 = np.asarray(jax.device_get(vals)).reshape(3, n_c, 4)
+        out = []
+        for ci in range(n_c):
+            values = [int(sum(int(x) << (32 * k) for k, x in enumerate(flat3[p, ci])))
+                      for p in range(3)]
+            out.append(self.domain.interpolate(LEVEL, values))
+        return out
+
+    def fold(self, challenge: int) -> None:
+        ch = tower.from_ints(LEVEL, [challenge])[0]
+        active = jnp.uint32(1 << self.n_remaining)
+        self.stack = _biv_fold_jit(self.log_padded, self.order_high, self.stack,
+                                   ch, active)
+        self.n_remaining -= 1
+        target = max(_bucket_log(self.n_remaining), 0)
+        if self.log_padded > target:
+            self.stack = jax.lax.slice_in_dim(self.stack, 0, 1 << target, axis=1)
+            self.log_padded = target
+
+    def finish(self) -> list[int]:
+        assert self.n_remaining == 0
+        vals = self.stack[:, 0, :]
+        return tower.to_ints(LEVEL, vals)
+
+
 @dataclasses.dataclass
 class BatchSumcheckOutput:
     challenges: list       # sampled challenges, in round order
