@@ -17,7 +17,18 @@ from ..hash.groestl import bytes_to_state, compress, compress_pairs, groestl256_
 
 
 def hash_leaves(blobs: np.ndarray) -> np.ndarray:
-    """Grøstl-256 digest of each row: (N, L) uint8 -> (N, 32) uint8."""
+    """Grøstl-256 digest of each row: (N, L) uint8 -> (N, 32) uint8.
+
+    Large batches route through the jitted device path (the analog of the
+    reference's `Groestl256Parallel` SIMD hasher); small ones stay on host.
+    """
+    n, length = blobs.shape
+    if n * length >= (1 << 16):
+        return _hash_leaves_device(blobs)
+    return _hash_leaves_np(blobs)
+
+
+def _hash_leaves_np(blobs: np.ndarray) -> np.ndarray:
     n, length = blobs.shape
     pad = groestl256_pad(length)
     msg = np.concatenate([blobs, np.broadcast_to(pad, (n, len(pad)))], axis=1)
@@ -26,6 +37,34 @@ def hash_leaves(blobs: np.ndarray) -> np.ndarray:
         m = bytes_to_state(msg[:, i * 64:(i + 1) * 64])
         h = compress(h, m)
     return output_transform(h)
+
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _hash_leaves_kernel(msg, n_blocks: int):
+    from ..hash.groestl import compress as _compress
+    from ..hash.groestl import output_transform as _ot
+    st = bytes_to_state(msg.reshape(msg.shape[0], n_blocks, 64))  # (n, nb, 8, 8)
+    iv = jnp.asarray(bytes_to_state(IV_256))
+    h = jnp.broadcast_to(iv, (msg.shape[0], 8, 8))
+    for i in range(n_blocks):
+        h = _compress(h, st[:, i], xp=jnp)
+    return _ot(h, xp=jnp)
+
+
+def _hash_leaves_device(blobs: np.ndarray) -> np.ndarray:
+    n, length = blobs.shape
+    pad = groestl256_pad(length)
+    msg = np.concatenate([blobs, np.broadcast_to(pad, (n, len(pad)))], axis=1)
+    n_blocks = msg.shape[1] // 64
+    msg = msg.reshape(n, n_blocks * 64)
+    out = _hash_leaves_kernel(jnp.asarray(msg), n_blocks)
+    return np.asarray(jax.device_get(out))
 
 
 @dataclasses.dataclass
