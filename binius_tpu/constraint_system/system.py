@@ -87,11 +87,21 @@ class ConstraintSystem:
         return groestl256(repr(toks).encode())
 
 
-def validate_witness(system: ConstraintSystem, witness: dict) -> None:
-    """Check all zero constraints against the witness (no proving).
+def validate_witness(system: ConstraintSystem, witness: dict, boundaries=()) -> None:
+    """Check all zero constraints and channel balance directly (no proving).
 
-    witness: oracle id -> (level, device data).
+    witness: oracle id -> (level, device data). Mirrors
+    `constraint_system/validate.rs:24`: zero constraints per constraint set,
+    non-zero claims, and exact multiset balance of channel flushes against
+    the boundaries.
     """
+    _validate_channels(system, witness, boundaries)
+    for nz in system.non_zero_claims:
+        level, data = witness[nz.oracle_id]
+        import jax.numpy as jnp
+        zero = tower.is_zero(level, data)
+        if bool(jnp.any(zero)):
+            raise ValueError(f"non-zero claim violated on oracle {nz.oracle_id}")
     for cs in system.constraint_sets:
         mls = []
         for oid in cs.oracle_ids:
@@ -104,3 +114,29 @@ def validate_witness(system: ConstraintSystem, witness: dict) -> None:
             out = expr.evaluate(7, mls)
             if bool(jnp.any(out != 0)):
                 raise ValueError(f"zero constraint {k} violated on oracles {cs.oracle_ids}")
+
+
+def _validate_channels(system: ConstraintSystem, witness: dict, boundaries) -> None:
+    """Exact multiset balance per channel (the emulation-level check,
+    `crates/m3/src/emulate.rs` Channel::is_balanced)."""
+    if not system.flushes and not boundaries:
+        return
+    from collections import Counter
+
+    counters = [Counter() for _ in range(system.n_channels)]
+
+    def account(channel, direction, tup, mult):
+        counters[channel][tup] += mult if direction == PUSH else -mult
+
+    for f in system.flushes:
+        cols = [tower.to_ints(witness[oid][0], witness[oid][1])
+                for oid in f.oracle_ids]
+        n = len(cols[0])
+        for r in range(n):
+            account(f.channel_id, f.direction, tuple(c[r] for c in cols), f.multiplicity)
+    for b in boundaries:
+        account(b.channel_id, b.direction, tuple(b.values), b.multiplicity)
+    for c, counter in enumerate(counters):
+        bad = {k: v for k, v in counter.items() if v != 0}
+        if bad:
+            raise ValueError(f"channel {c} is not balanced: {len(bad)} unbalanced tuples")
