@@ -69,20 +69,118 @@ def mul_alpha(level: int, a: int) -> int:
     return a1 | ((a0 ^ mul_alpha(level - 1, a1)) << h)
 
 
-def mul(level: int, a: int, b: int) -> int:
-    """Karatsuba multiplication down the tower."""
+def _mul_recursive(level: int, a: int, b: int) -> int:
+    """Karatsuba multiplication down the tower (reference definition)."""
     if level == 0:
         return a & b
     h = bits(level - 1)
     m = _half_mask(level)
     a0, a1 = a & m, a >> h
     b0, b1 = b & m, b >> h
-    z0 = mul(level - 1, a0, b0)
-    z2 = mul(level - 1, a1, b1)
-    z1 = mul(level - 1, a0 ^ a1, b0 ^ b1) ^ z0 ^ z2  # a0*b1 + a1*b0
+    z0 = _mul_recursive(level - 1, a0, b0)
+    z2 = _mul_recursive(level - 1, a1, b1)
+    z1 = _mul_recursive(level - 1, a0 ^ a1, b0 ^ b1) ^ z0 ^ z2  # a0*b1 + a1*b0
     lo = z0 ^ z2
     hi = z1 ^ mul_alpha(level - 1, z2)
     return lo | (hi << h)
+
+
+# -- fast host multiplication: flat B8 table + unrolled Karatsuba -----------
+# (Semantically identical to _mul_recursive; the hosts of the prover's
+# orchestration do millions of these.)
+
+_MUL8: list | None = None
+_ALPHA8: list | None = None
+
+
+def _init_fast_tables() -> None:
+    global _MUL8, _ALPHA8
+    m8 = [0] * 65536
+    for a in range(256):
+        base = a << 8
+        for b in range(256):
+            m8[base | b] = _mul_recursive(3, a, b)
+    _MUL8 = m8
+    _ALPHA8 = [mul_alpha(3, v) for v in range(256)]
+
+
+def _a8(v):
+    return _ALPHA8[v]
+
+
+def _a16(v):
+    lo = v >> 8
+    return lo | (((v & 0xFF) ^ _ALPHA8[lo]) << 8)
+
+
+def _a32(v):
+    lo = v >> 16
+    return lo | (((v & 0xFFFF) ^ _a16(lo)) << 16)
+
+
+def _a64(v):
+    lo = v >> 32
+    return lo | (((v & 0xFFFFFFFF) ^ _a32(lo)) << 32)
+
+
+def _m16(a, b, m8):
+    a0 = a & 0xFF
+    a1 = a >> 8
+    b0 = b & 0xFF
+    b1 = b >> 8
+    z0 = m8[(a0 << 8) | b0]
+    z2 = m8[(a1 << 8) | b1]
+    z1 = m8[((a0 ^ a1) << 8) | (b0 ^ b1)] ^ z0 ^ z2
+    return (z0 ^ z2) | ((z1 ^ _ALPHA8[z2]) << 8)
+
+
+def _m32(a, b, m8):
+    a0 = a & 0xFFFF
+    a1 = a >> 16
+    b0 = b & 0xFFFF
+    b1 = b >> 16
+    z0 = _m16(a0, b0, m8)
+    z2 = _m16(a1, b1, m8)
+    z1 = _m16(a0 ^ a1, b0 ^ b1, m8) ^ z0 ^ z2
+    return (z0 ^ z2) | ((z1 ^ _a16(z2)) << 16)
+
+
+def _m64(a, b, m8):
+    a0 = a & 0xFFFFFFFF
+    a1 = a >> 32
+    b0 = b & 0xFFFFFFFF
+    b1 = b >> 32
+    z0 = _m32(a0, b0, m8)
+    z2 = _m32(a1, b1, m8)
+    z1 = _m32(a0 ^ a1, b0 ^ b1, m8) ^ z0 ^ z2
+    return (z0 ^ z2) | ((z1 ^ _a32(z2)) << 32)
+
+
+def _m128(a, b, m8):
+    M = 0xFFFFFFFFFFFFFFFF
+    a0 = a & M
+    a1 = a >> 64
+    b0 = b & M
+    b1 = b >> 64
+    z0 = _m64(a0, b0, m8)
+    z2 = _m64(a1, b1, m8)
+    z1 = _m64(a0 ^ a1, b0 ^ b1, m8) ^ z0 ^ z2
+    return (z0 ^ z2) | ((z1 ^ _a64(z2)) << 64)
+
+
+def mul(level: int, a: int, b: int) -> int:
+    """Tower multiplication (fast host path; defined by _mul_recursive)."""
+    if _MUL8 is None:
+        _init_fast_tables()
+    if level <= 3:
+        return _MUL8[(a << 8) | b]
+    if level == 4:
+        return _m16(a, b, _MUL8)
+    if level == 5:
+        return _m32(a, b, _MUL8)
+    if level == 6:
+        return _m64(a, b, _MUL8)
+    return _m128(a, b, _MUL8)
 
 
 def square(level: int, a: int) -> int:

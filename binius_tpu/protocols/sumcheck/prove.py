@@ -143,6 +143,15 @@ class RegularSumcheckProver:
         self.mls = [(lvl, _pad_to(lvl, d, self.log_padded)) for lvl, d in multilinears]
         deg = claim.max_individual_degree()
         self.domain = EvaluationDomain.from_subspace(3, deg + 1)
+        # Pre-compact each composition to the multilinears it actually uses:
+        # one small jitted kernel per distinct composition STRUCTURE, shared
+        # across claims (e.g. all 24 Keccak round groups), instead of one
+        # giant graph per claim.
+        self._compact = []
+        for cs in claim.composite_sums:
+            used = sorted(cs.composition.expr.vars_used())
+            remap = {v: i for i, v in enumerate(used)}
+            self._compact.append((cs.composition.expr.remap_vars(remap), tuple(used)))
 
     @property
     def n_vars(self) -> int:
@@ -150,19 +159,19 @@ class RegularSumcheckProver:
 
     def compute_round_polys(self) -> list[list[int]]:
         """Round polynomial coefficients (one list per composite claim)."""
-        comps = tuple(c.composition.expr for c in self.claim.composite_sums)
-        levels = tuple(lvl for lvl, _ in self.mls)
-        datas = tuple(d for _, d in self.mls)
         pts = self.domain.points
-        active = jnp.uint32(1 << self.n_remaining)
-        vals = _round_values_jit(comps, levels, self.log_padded, self.order_high,
-                                 datas, pts, active)
-        flat = tower.to_ints(LEVEL, vals)
         n_pts = len(pts)
+        active = jnp.uint32(1 << self.n_remaining)
+        results = []
+        for cexpr, used in self._compact:
+            levels = tuple(self.mls[v][0] for v in used)
+            datas = tuple(self.mls[v][1] for v in used)
+            results.append(_round_values_jit((cexpr,), levels, self.log_padded,
+                                             self.order_high, datas, pts, active))
         out = []
-        for ci in range(len(comps)):
-            values = flat[ci * n_pts:(ci + 1) * n_pts]
-            out.append(self.domain.interpolate(LEVEL, values))
+        for vals in results:
+            flat = tower.to_ints(LEVEL, vals)
+            out.append(self.domain.interpolate(LEVEL, flat[:n_pts]))
         return out
 
     def fold(self, challenge: int) -> None:
