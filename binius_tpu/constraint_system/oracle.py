@@ -16,6 +16,7 @@ LINEAR_COMBINATION = "linear_combination"
 REPEATING = "repeating"
 PACKED = "packed"
 ZERO_PADDED = "zero_padded"
+COMPOSITE = "composite"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -32,6 +33,7 @@ class Oracle:
     lc_coeffs: tuple = ()      # per-inner coefficients (B128 ints)
     log_degree: int = 0        # packed: log extension degree; repeating: log count
     transparent: object = None  # TransparentPoly (n_vars, level, evaluate_scalar, mle)
+    composite: object = None   # ArithExpr over the inner oracles (COMPOSITE)
     name: str = ""
 
 
@@ -86,6 +88,14 @@ class OracleSet:
         return self._add(n_vars=inner.n_vars - log_degree,
                          tower_level=inner.tower_level + log_degree, variant=PACKED,
                          inner=(inner_id,), log_degree=log_degree, name=name)
+
+    def add_composite(self, n_vars: int, inner_ids: list, expr, name: str = "") -> int:
+        """Pointwise composite of inner oracles: value = expr(inner_0, ...)
+        (`oracle/multilinear.rs` Composite variant)."""
+        for oid in inner_ids:
+            assert self[oid].n_vars == n_vars
+        return self._add(n_vars=n_vars, tower_level=7, variant=COMPOSITE,
+                         inner=tuple(inner_ids), composite=expr, name=name)
 
     def committed_ids(self) -> list[int]:
         return [o.id for o in self.oracles if o.variant == COMMITTED]

@@ -100,8 +100,11 @@ def _observe_boundaries(transcript, boundaries) -> None:
 
 
 def _make_flush_oracles(system: ConstraintSystem, alpha: int, beta: int):
-    """Instantiate the flush LC oracles (both sides do this identically);
-    returns list of (flush, oracle_id)."""
+    """Instantiate the flush oracles (both sides do this identically):
+    a LinearCombination alpha + sum beta^i col_i, or — with a selector —
+    the Composite 1 + sel * (1 + alpha + sum beta^i col_i), so deselected
+    rows contribute 1 to the grand product. Returns [(flush, oracle_id)]."""
+    from ..math.arith import ArithExpr
     out = []
     for f in system.flushes:
         n_vars = system.oracles[f.oracle_ids[0]].n_vars
@@ -111,8 +114,17 @@ def _make_flush_oracles(system: ConstraintSystem, alpha: int, beta: int):
             assert system.oracles[oid].n_vars == n_vars
             terms.append((oid, coeff))
             coeff = scalar.mul(LEVEL, coeff, beta)
-        oid = system.oracles.add_linear_combination(n_vars, terms, alpha,
-                                                   f"flush_{len(out)}")
+        if f.selector_id is None:
+            oid = system.oracles.add_linear_combination(n_vars, terms, alpha,
+                                                        f"flush_{len(out)}")
+        else:
+            inner_ids = [f.selector_id, *f.oracle_ids]
+            mix = ArithExpr.const(alpha ^ 1, 7)
+            for i, (_, c) in enumerate(terms):
+                mix = mix + ArithExpr.const(c, 7) * ArithExpr.var(i + 1)
+            expr = ArithExpr.const(1) + ArithExpr.var(0) * mix
+            oid = system.oracles.add_composite(n_vars, inner_ids, expr,
+                                               f"flush_{len(out)}")
         out.append((f, oid))
     return out
 

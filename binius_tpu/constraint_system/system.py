@@ -36,13 +36,15 @@ class Flush:
 
     Pushes the tuple (col_0[r], ..., col_{k-1}[r]) for every row r of the
     table into `channel_id` (or pulls it out). `multiplicity` repeats the
-    whole flush. Selectors are a later milestone (power-of-two tables only).
+    whole flush. With a selector oracle (0/1 column), only rows where the
+    selector is 1 participate.
     """
 
     channel_id: int
     direction: str  # PUSH | PULL
     oracle_ids: tuple
     multiplicity: int = 1
+    selector_id: int = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -80,7 +82,8 @@ class ConstraintSystem:
             toks.append((cs.n_vars, cs.oracle_ids,
                          tuple(c.serialize_tokens() for c in cs.zero_constraints)))
         for f in self.flushes:
-            toks.append((f.channel_id, f.direction, f.oracle_ids, f.multiplicity))
+            toks.append((f.channel_id, f.direction, f.oracle_ids, f.multiplicity,
+                         f.selector_id))
         toks.append(("channels", self.n_channels))
         for nz in self.non_zero_claims:
             toks.append(("nonzero", nz.oracle_id))
@@ -131,8 +134,12 @@ def _validate_channels(system: ConstraintSystem, witness: dict, boundaries) -> N
     for f in system.flushes:
         cols = [tower.to_ints(witness[oid][0], witness[oid][1])
                 for oid in f.oracle_ids]
+        sel = (tower.to_ints(witness[f.selector_id][0], witness[f.selector_id][1])
+               if f.selector_id is not None else None)
         n = len(cols[0])
         for r in range(n):
+            if sel is not None and sel[r] == 0:
+                continue
             account(f.channel_id, f.direction, tuple(c[r] for c in cols), f.multiplicity)
     for b in boundaries:
         account(b.channel_id, b.direction, tuple(b.values), b.multiplicity)

@@ -42,6 +42,14 @@ def materialize(oracles: om.OracleSet, witness: dict, oid: int):
         shifted = shift_ind.apply_shift_ints(o.shift_variant, o.shift_block_bits,
                                              o.shift_offset, vals)
         out = (ilvl, tower.from_ints(ilvl, shifted))
+    elif o.variant == om.COMPOSITE:
+        inner_data = []
+        for iid in o.inner:
+            ilvl, idata = materialize(oracles, witness, iid)
+            if ilvl < LEVEL:
+                idata = tower.embed(ilvl, LEVEL, idata)
+            inner_data.append(idata)
+        out = (LEVEL, o.composite.evaluate(LEVEL, inner_data))
     elif o.variant == om.PACKED:
         ilvl, idata = materialize(oracles, witness, o.inner[0])
         inner = oracles[o.inner[0]]

@@ -40,6 +40,12 @@ class _ShiftEntry:
     oracle: om.Oracle
 
 
+@dataclasses.dataclass
+class _CompositeEntry:
+    claim: EvalcheckClaim
+    oracle: om.Oracle
+
+
 class _Walker:
     """Shared prover/verifier reduction walk; transcript IO differs via hooks."""
 
@@ -64,6 +70,7 @@ class _Walker:
         queue = list(claims)
         while queue:
             shift_entries: list[_ShiftEntry] = []
+            composite_entries: list[_CompositeEntry] = []
             next_queue: list[EvalcheckClaim] = []
             for claim in queue:
                 key = _dedup_key(claim)
@@ -72,13 +79,15 @@ class _Walker:
                         raise ValueError("conflicting duplicate evaluation claims")
                     continue
                 self.seen[key] = claim.eval
-                self._process(claim, shift_entries, next_queue)
-            if shift_entries:
-                next_queue.extend(self._run_shift_batch(shift_entries))
+                self._process(claim, shift_entries, composite_entries, next_queue)
+            if shift_entries or composite_entries:
+                next_queue.extend(self._run_sumcheck_batch(shift_entries,
+                                                          composite_entries))
             queue = next_queue
         return self.committed
 
-    def _process(self, claim: EvalcheckClaim, shift_entries, next_queue) -> None:
+    def _process(self, claim: EvalcheckClaim, shift_entries, composite_entries,
+                 next_queue) -> None:
         o = self.oracles[claim.oracle_id]
         if o.variant == om.COMMITTED:
             self.committed.append(claim)
@@ -104,6 +113,8 @@ class _Walker:
                 next_queue.append(EvalcheckClaim(i, claim.point, e))
         elif o.variant == om.SHIFTED:
             shift_entries.append(_ShiftEntry(claim, o))
+        elif o.variant == om.COMPOSITE:
+            composite_entries.append(_CompositeEntry(claim, o))
         else:
             raise NotImplementedError(f"evalcheck for oracle variant {o.variant}")
 
@@ -114,53 +125,86 @@ class _Walker:
                             tower.from_ints(LEVEL, list(point)))
         return tower.to_ints(LEVEL, v[None, :])[0]
 
-    def _run_shift_batch(self, entries: list[_ShiftEntry]) -> list[EvalcheckClaim]:
-        # Deterministic order: descending block size, stable.
-        entries = sorted(entries, key=lambda e: -e.oracle.shift_block_bits)
-        comp = bivariate_product()
-        claims = []
-        for e in entries:
-            b = e.oracle.shift_block_bits
-            claims.append(SumcheckClaim(b, 2, (CompositeSumClaim(comp, e.claim.eval),)))
+    def _run_sumcheck_batch(self, shift_entries, composite_entries) -> list[EvalcheckClaim]:
+        """Batch-prove/verify the sumchecks spawned by shifted and composite
+        oracles; returns the reduced inner-oracle claims."""
+        from ..math.arith import ArithExpr, CompositionPoly
+
+        specs = []  # (kind, entry, n_vars)
+        for e in sorted(shift_entries, key=lambda e: -e.oracle.shift_block_bits):
+            specs.append(("shift", e, e.oracle.shift_block_bits))
+        for e in composite_entries:
+            specs.append(("composite", e, e.oracle.n_vars))
+        specs.sort(key=lambda s: -s[2])  # stable: shifts keep relative order
+
+        claims, eq_points = [], []
+        for kind, e, nv in specs:
+            if kind == "shift":
+                claims.append(SumcheckClaim(
+                    nv, 2, (CompositeSumClaim(bivariate_product(), e.claim.eval),)))
+                eq_points.append(None)
+            else:
+                o = e.oracle
+                shifted_expr = o.composite.remap_vars(
+                    {i: i + 1 for i in range(len(o.inner))})
+                comp = CompositionPoly(ArithExpr.var(0) * shifted_expr,
+                                       len(o.inner) + 1)
+                claims.append(SumcheckClaim(
+                    nv, len(o.inner) + 1, (CompositeSumClaim(comp, e.claim.eval),)))
+                eq_points.append(list(e.claim.point))
+
         if self.is_prover:
             provers = []
-            for e in entries:
+            for (kind, e, nv), claim in zip(specs, claims):
                 o = e.oracle
-                b = o.shift_block_bits
-                inner = self.oracles[o.inner[0]]
-                ilevel, idata = self.witness[o.inner[0]]
-                z_high = list(e.claim.point[b:])
-                if z_high:
-                    eq = mle.eq_ind_partial_eval(LEVEL, tower.from_ints(LEVEL, z_high))
-                    plvl, proj = mle.evaluate_partial_high(ilevel, idata, inner.n_vars,
-                                                           LEVEL, eq, inner.n_vars - b)
+                if kind == "shift":
+                    b = o.shift_block_bits
+                    inner = self.oracles[o.inner[0]]
+                    ilevel, idata = self.witness[o.inner[0]]
+                    z_high = list(e.claim.point[b:])
+                    if z_high:
+                        eq = mle.eq_ind_partial_eval(LEVEL, tower.from_ints(LEVEL, z_high))
+                        plvl, proj = mle.evaluate_partial_high(
+                            ilevel, idata, inner.n_vars, LEVEL, eq, inner.n_vars - b)
+                    else:
+                        plvl, proj = ilevel, idata
+                    ind = shift_ind.partial_mle(o.shift_variant, b, o.shift_offset,
+                                                list(e.claim.point[:b]))
+                    provers.append(sc_prove.RegularSumcheckProver(
+                        claim, [(plvl, proj), (LEVEL, ind)], order_high=False))
                 else:
-                    plvl, proj = ilevel, idata
-                ind = shift_ind.partial_mle(o.shift_variant, b, o.shift_offset,
-                                            list(e.claim.point[:b]))
-                provers.append(sc_prove.RegularSumcheckProver(
-                    claims[len(provers)], [(plvl, proj), (LEVEL, ind)], order_high=False))
+                    eq_ml = sc_prove.eq_ind_expansion_multilinear(list(e.claim.point))
+                    mls = [eq_ml] + [self.witness[i] for i in o.inner]
+                    provers.append(sc_prove.RegularSumcheckProver(
+                        claim, mls, order_high=False,
+                        eq_ind_challenges=tuple(e.claim.point)))
             out = sc_prove.batch_prove(provers, self.transcript)
             ml_evals = out.multilinear_evals
             challenges = out.challenges
         else:
-            ver = sc_verify.batch_verify(claims, self.transcript, order_high=False)
+            ver = sc_verify.batch_verify(claims, self.transcript, order_high=False,
+                                         eq_ind_points=eq_points)
             ml_evals = ver.multilinear_evals
             challenges = ver.challenges
+
         n_rounds = claims[0].n_vars if claims else 0
         new_claims = []
-        for e, evals, claim in zip(entries, ml_evals, claims):
+        for (kind, e, nv), evals, claim in zip(specs, ml_evals, claims):
             o = e.oracle
-            b = o.shift_block_bits
-            pt = sc_verify.claim_point(n_rounds, b, challenges, order_high=False)
-            proj_eval, ind_eval = evals
-            if not self.is_prover:
-                want = shift_ind.evaluate_scalar(o.shift_variant, b, o.shift_offset,
-                                                 list(e.claim.point[:b]), pt)
-                if ind_eval != want:
-                    raise ValueError("shift indicator evaluation mismatch")
-            inner_point = tuple(pt) + tuple(e.claim.point[b:])
-            new_claims.append(EvalcheckClaim(o.inner[0], inner_point, proj_eval))
+            pt = sc_verify.claim_point(n_rounds, nv, challenges, order_high=False)
+            if kind == "shift":
+                b = o.shift_block_bits
+                proj_eval, ind_eval = evals
+                if not self.is_prover:
+                    want = shift_ind.evaluate_scalar(o.shift_variant, b, o.shift_offset,
+                                                     list(e.claim.point[:b]), pt)
+                    if ind_eval != want:
+                        raise ValueError("shift indicator evaluation mismatch")
+                inner_point = tuple(pt) + tuple(e.claim.point[b:])
+                new_claims.append(EvalcheckClaim(o.inner[0], inner_point, proj_eval))
+            else:
+                for iid, ev in zip(o.inner, evals[1:]):
+                    new_claims.append(EvalcheckClaim(iid, tuple(pt), ev))
         return new_claims
 
 
