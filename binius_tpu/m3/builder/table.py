@@ -74,8 +74,8 @@ class TableBuilder:
 
     def add_computed(self, name: str, expr: ArithExpr, cols: list) -> Col:
         """Column defined as an arithmetic expression of other columns (same
-        values-per-row); lowered to a LinearCombination when linear, else a
-        committed-with-constraint pair is required (not yet supported)."""
+        values-per-row); lowered to a LinearCombination when linear, or a
+        Composite oracle (eq-weighted sumcheck reduction) otherwise."""
         lvl = 7
         vpr = cols[0].log_values_per_row
         assert all(c.log_values_per_row == vpr for c in cols)
@@ -112,14 +112,16 @@ class TableBuilder:
         self.zero_constraints.append((name, vpr, expr, tuple(cols), group))
 
     # -- flushes -----------------------------------------------------------
-    def push(self, channel_id: int, cols: list, multiplicity: int = 1) -> None:
+    def push(self, channel_id: int, cols: list, multiplicity: int = 1,
+             selector=None) -> None:
         assert all(c.log_values_per_row == 0 for c in cols), \
             "flush columns must have one value per row"
-        self.flushes.append((channel_id, PUSH, tuple(cols), multiplicity))
+        self.flushes.append((channel_id, PUSH, tuple(cols), multiplicity, selector))
 
-    def pull(self, channel_id: int, cols: list, multiplicity: int = 1) -> None:
+    def pull(self, channel_id: int, cols: list, multiplicity: int = 1,
+             selector=None) -> None:
         assert all(c.log_values_per_row == 0 for c in cols)
-        self.flushes.append((channel_id, PULL, tuple(cols), multiplicity))
+        self.flushes.append((channel_id, PULL, tuple(cols), multiplicity, selector))
 
 
 class M3ConstraintSystem:
@@ -162,13 +164,15 @@ class M3ConstraintSystem:
                         cd.shift_variant, nm)
                 elif cd.kind == "computed":
                     expr = cd.inner
+                    inner_ids = [oracle_map[(t.table_id, c.index)] for c in cd.expr_cols]
                     if expr.degree() > 1:
-                        raise NotImplementedError("nonlinear computed columns")
-                    terms, offset = _linearize(expr, len(cd.expr_cols))
-                    lc_terms = [(oracle_map[(t.table_id, c.index)], coeff)
-                                for c, coeff in zip(cd.expr_cols, terms)]
-                    oracle_map[key] = oracles.add_linear_combination(
-                        n_vars, lc_terms, offset, nm)
+                        oracle_map[key] = oracles.add_composite(
+                            n_vars, inner_ids, expr, nm)
+                    else:
+                        terms, offset = _linearize(expr, len(cd.expr_cols))
+                        lc_terms = list(zip(inner_ids, terms))
+                        oracle_map[key] = oracles.add_linear_combination(
+                            n_vars, lc_terms, offset, nm)
                 elif cd.kind == "constant":
                     from ...protocols.transparent import Constant
                     tp = Constant(n_vars, cd.constant, col.level)
@@ -197,10 +201,12 @@ class M3ConstraintSystem:
                     log_rows + vpr,
                     tuple(oracle_map[(t.table_id, c.index)] for c in col_list),
                     tuple(exprs)))
-            for channel_id, direction, cols, mult in t.flushes:
+            for channel_id, direction, cols, mult, selector in t.flushes:
+                sel_id = (oracle_map[(t.table_id, selector.index)]
+                          if selector is not None else None)
                 flushes.append(Flush(channel_id, direction,
                                      tuple(oracle_map[(t.table_id, c.index)] for c in cols),
-                                     mult))
+                                     mult, sel_id))
         return ConstraintSystem(oracles, constraint_sets, flushes,
                                 self.n_channels), oracle_map
 
