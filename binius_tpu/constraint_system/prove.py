@@ -17,20 +17,64 @@ milestones):
 from __future__ import annotations
 
 import dataclasses
+import os
+import time
 
 from ..fields import scalar, tower
 from ..math.arith import CompositionPoly
 from ..protocols import evalcheck, gkr_gpa, ring_switch
 from ..protocols import fri as fri_mod
 from ..protocols import piop
+from ..protocols.sumcheck import univariate_zerocheck as uzc
 from ..protocols.sumcheck import zerocheck as zc
 from ..protocols.sumcheck.common import LEVEL
 from ..transcript.transcript import ProverTranscript, VerifierTranscript
 from . import oracle as om
 from . import witness as witness_mod
+from . import exp as exp_mod
 from .system import PULL, PUSH, ConstraintSystem
 
 SECURITY_BITS = 100
+
+_TRACE_PHASES = os.environ.get("BINIUS_TRACE_PHASES", "") not in ("", "0")
+
+
+class _PhaseTimer:
+    """Phase span timing (the analog of the reference's tracing spans with
+    `perfetto_category = "phase.main"`, `constraint_system/prove.rs:179-184`).
+    Enabled by BINIUS_TRACE_PHASES=1; timings are collected either way and
+    exposed via `last_phase_times`."""
+
+    def __init__(self, what: str):
+        self.what = what
+        self.times: dict = {}
+        self._t0 = time.perf_counter()
+        self._cur = None
+
+    def phase(self, name: str) -> None:
+        self._finish()
+        self._cur = (name, time.perf_counter())
+
+    def _finish(self) -> None:
+        if self._cur is not None:
+            name, t0 = self._cur
+            dt = time.perf_counter() - t0
+            self.times[name] = self.times.get(name, 0.0) + dt
+            if _TRACE_PHASES:
+                print(f"[{self.what}] phase {name}: {dt * 1e3:.1f} ms", flush=True)
+            self._cur = None
+
+    def done(self) -> dict:
+        self._finish()
+        self.times["total"] = time.perf_counter() - self._t0
+        if _TRACE_PHASES:
+            print(f"[{self.what}] total: {self.times['total'] * 1e3:.1f} ms", flush=True)
+        global last_phase_times
+        last_phase_times = dict(self.times)
+        return self.times
+
+
+last_phase_times: dict = {}
 
 
 @dataclasses.dataclass
@@ -48,8 +92,9 @@ class CommitLayout:
         keyed = []
         for oid in ids:
             o = system.oracles[oid]
-            packed = o.n_vars + o.tower_level - 7
-            assert packed >= 0, "tiny committed columns not yet supported"
+            # tiny columns (n_vars + level < 7) repeat-pack into one B128
+            # element (`piop/prove.rs:461-487` padded_packed_eval)
+            packed = max(0, o.n_vars + o.tower_level - 7)
             keyed.append((packed, oid))
         keyed.sort()
         ordered = [oid for _, oid in keyed]
@@ -67,14 +112,27 @@ def make_fri_params(commit_meta: piop.CommitMeta, log_inv_rate: int) -> fri_mod.
     return piop.make_commit_params(commit_meta, SECURITY_BITS, log_inv_rate)
 
 
-def _zerocheck_claims(system: ConstraintSystem):
-    """(sorted constraint sets desc by n_vars, zerocheck claims)."""
-    sets = sorted(system.constraint_sets, key=lambda s: -s.n_vars)
+def _zerocheck_claims(system: ConstraintSystem, ascending: bool = False):
+    """(sorted constraint sets by n_vars, zerocheck claims)."""
+    key = (lambda s: s.n_vars) if ascending else (lambda s: -s.n_vars)
+    sets = sorted(system.constraint_sets, key=key)
     claims = [zc.ZerocheckClaim(s.n_vars, len(s.oracle_ids),
                                 tuple(CompositionPoly(e, len(s.oracle_ids))
                                       for e in s.zero_constraints))
               for s in sets]
     return sets, claims
+
+
+_FORCE_GENERIC_ZC = os.environ.get("BINIUS_FORCE_GENERIC_ZEROCHECK", "") not in ("", "0")
+
+
+def _zerocheck_skip(system: ConstraintSystem) -> int:
+    """Deterministic univariate-skip round count for this system (0 selects
+    the generic eq-ind zerocheck path)."""
+    if _FORCE_GENERIC_ZC or not system.constraint_sets:
+        return 0
+    _, claims = _zerocheck_claims(system, ascending=True)
+    return uzc.compute_skip_rounds(claims)
 
 
 def _to_evalcheck_claims(sets, ver_or_out, challenges_order_high):
@@ -167,15 +225,20 @@ def prove(system: ConstraintSystem, witness: dict, boundaries: list = (),
           log_inv_rate: int = 1) -> bytes:
     """witness: oracle id -> (level, device data) for committed and virtual
     oracles (prover materializes virtual columns during witness generation)."""
+    timer = _PhaseTimer("prove")
     transcript = ProverTranscript()
     transcript.observe().write_bytes(system.digest())
     _observe_boundaries(transcript, boundaries)
     # Work on copies: flush oracles are instantiated during proving.
     system = ConstraintSystem(system.oracles.clone(), system.constraint_sets,
-                              system.flushes, system.n_channels, system.non_zero_claims)
+                              system.flushes, system.n_channels,
+                              system.non_zero_claims, system.exponents)
     witness = dict(witness)
 
     # --- commit phase ---
+    timer.phase("commit")
+    # exp-result columns are committed but prover-computed (`exp.rs:118`)
+    exp_witnesses = exp_mod.make_exp_witnesses(system, witness)
     layout = CommitLayout.from_system(system)
     fri_params = make_fri_params(layout.commit_meta, log_inv_rate)
     packed_mles = []
@@ -189,7 +252,12 @@ def prove(system: ConstraintSystem, witness: dict, boundaries: list = (),
     codeword, tree, _ = piop.commit(fri_params, layout.commit_meta, packed_mles)
     transcript.message().write_bytes(tree.root)
 
+    # --- exponentiation phase (`prove.rs:236-274`) ---
+    timer.phase("exp")
+    exp_ec_claims = exp_mod.prove_phase(system, witness, exp_witnesses, transcript)
+
     # --- channel / non-zero (grand product) phase ---
+    timer.phase("gpa")
     gpa_ec_claims = []
     if system.flushes or system.non_zero_claims:
         alpha = transcript.sample_scalar(LEVEL)
@@ -217,23 +285,41 @@ def prove(system: ConstraintSystem, witness: dict, boundaries: list = (),
             gpa_ec_claims.append(evalcheck.EvalcheckClaim(oid, tuple(pt), ev))
 
     # --- zerocheck phase ---
-    sets, claims = _zerocheck_claims(system)
-    mls_per_claim = [[witness[oid] for oid in s.oracle_ids] for s in sets]
-    zc_out = zc.batch_prove(claims, mls_per_claim, transcript, order_high=False)
-    ec_claims = _to_evalcheck_claims(sets, zc_out, False) + gpa_ec_claims
+    timer.phase("zerocheck")
+    skip = _zerocheck_skip(system)
+    if skip > 0:
+        sets, claims = _zerocheck_claims(system, ascending=True)
+        mls_per_claim = [[witness[oid] for oid in s.oracle_ids] for s in sets]
+        zc_out = uzc.batch_prove(claims, mls_per_claim, transcript, skip)
+        ec_claims = [evalcheck.EvalcheckClaim(oid, tuple(pt), ev)
+                     for s, evs, pt in zip(sets, zc_out.multilinear_evals,
+                                           zc_out.eval_points)
+                     for oid, ev in zip(s.oracle_ids, evs)]
+        ec_claims += gpa_ec_claims
+    else:
+        sets, claims = _zerocheck_claims(system)
+        mls_per_claim = [[witness[oid] for oid in s.oracle_ids] for s in sets]
+        zc_out = zc.batch_prove(claims, mls_per_claim, transcript, order_high=False)
+        ec_claims = _to_evalcheck_claims(sets, zc_out, False) + gpa_ec_claims
+    ec_claims += exp_ec_claims
 
     # --- evalcheck phase ---
+    timer.phase("evalcheck")
     committed_claims = evalcheck.prove(system.oracles, witness, ec_claims, transcript)
 
     # --- ring switch ---
+    timer.phase("ring_switch")
     rs_claims = _ring_switch_claims(system, layout, committed_claims)
     witnesses_by_idx = [witness[oid] for oid in layout.oracle_ids]
     reduced = ring_switch.prove(rs_claims, witnesses_by_idx, transcript)
 
     # --- PIOP ---
+    timer.phase("piop")
     piop.prove(fri_params, layout.commit_meta, codeword, tree, packed_mles,
                reduced.transparent_mles, reduced.sumcheck_claims, transcript)
-    return transcript.finalize()
+    out = transcript.finalize()
+    timer.done()
+    return out
 
 
 def _ring_switch_claims(system, layout, committed_claims):
@@ -242,8 +328,14 @@ def _ring_switch_claims(system, layout, committed_claims):
         o = system.oracles[c.oracle_id]
         idx = layout.oracle_to_idx[c.oracle_id]
         packed = layout.packed_n_vars[idx]
+        pt = tuple(c.point)
+        kappa = 7 - o.tower_level
+        if len(pt) < kappa:
+            # tiny column: pad the eval point with zeros to kappa — consistent
+            # with the repeat-packed element (`ring_switch/common.rs:169-176`)
+            pt = pt + (0,) * (kappa - len(pt))
         keyed.append((packed, idx, ring_switch.RingSwitchEvalClaim(
-            idx, o.tower_level, tuple(c.point), c.eval)))
+            idx, o.tower_level, pt, c.eval)))
     keyed.sort(key=lambda t: (t[0], t[1]))
     return [k[2] for k in keyed]
 
@@ -254,11 +346,15 @@ def verify(system: ConstraintSystem, proof: bytes, boundaries: list = (),
     transcript.observe().write_bytes(system.digest())
     _observe_boundaries(transcript, boundaries)
     system = ConstraintSystem(system.oracles.clone(), system.constraint_sets,
-                              system.flushes, system.n_channels, system.non_zero_claims)
+                              system.flushes, system.n_channels,
+                              system.non_zero_claims, system.exponents)
 
     layout = CommitLayout.from_system(system)
     fri_params = make_fri_params(layout.commit_meta, log_inv_rate)
     commitment = transcript.message().read_bytes(32)
+
+    # --- exponentiation phase (`verify.rs:121-150`) ---
+    exp_ec_claims = exp_mod.verify_phase(system, transcript)
 
     # --- channel / non-zero (grand product) phase ---
     gpa_ec_claims = []
@@ -281,9 +377,20 @@ def verify(system: ConstraintSystem, proof: bytes, boundaries: list = (),
         for (oid, kind, f), pt, ev in zip(instances, gpa_out.eval_points, gpa_out.evals):
             gpa_ec_claims.append(evalcheck.EvalcheckClaim(oid, tuple(pt), ev))
 
-    sets, claims = _zerocheck_claims(system)
-    zc_ver = zc.batch_verify(claims, transcript, order_high=False)
-    ec_claims = _to_evalcheck_claims(sets, zc_ver, False) + gpa_ec_claims
+    skip = _zerocheck_skip(system)
+    if skip > 0:
+        sets, claims = _zerocheck_claims(system, ascending=True)
+        zc_ver = uzc.batch_verify(claims, transcript, skip)
+        ec_claims = [evalcheck.EvalcheckClaim(oid, tuple(pt), ev)
+                     for s, evs, pt in zip(sets, zc_ver.multilinear_evals,
+                                           zc_ver.eval_points)
+                     for oid, ev in zip(s.oracle_ids, evs)]
+        ec_claims += gpa_ec_claims
+    else:
+        sets, claims = _zerocheck_claims(system)
+        zc_ver = zc.batch_verify(claims, transcript, order_high=False)
+        ec_claims = _to_evalcheck_claims(sets, zc_ver, False) + gpa_ec_claims
+    ec_claims += exp_ec_claims
 
     committed_claims = evalcheck.verify(system.oracles, ec_claims, transcript)
 

@@ -20,6 +20,7 @@ import struct
 from ..math.arith import ArithExpr
 from ..protocols import transparent as tp
 from . import oracle as om
+from .exp import Exp
 from .system import Boundary, ConstraintSet, ConstraintSystem, Flush, NonZeroClaim
 
 
@@ -225,6 +226,15 @@ def serialize(system: ConstraintSystem) -> bytes:
     _w_u32(b, len(system.non_zero_claims))
     for nz in system.non_zero_claims:
         _w_u32(b, nz.oracle_id)
+    _w_u32(b, len(system.exponents))
+    for e in system.exponents:
+        _w_u32(b, len(e.bits_ids))
+        for i in e.bits_ids:
+            _w_u32(b, i)
+        _w_u32(b, e.exp_result_id)
+        _w_u32(b, e.base_level)
+        _w_i32(b, -1 if e.base_oracle is None else e.base_oracle)
+        _w_u128(b, e.base_const if e.base_const is not None else 0)
     return b.getvalue()
 
 
@@ -274,4 +284,16 @@ def deserialize(data: bytes) -> ConstraintSystem:
         flushes.append(Flush(ch, d, ids, mult, sel))
     n_channels = _r_u32(r)
     nz = [NonZeroClaim(_r_u32(r)) for _ in range(_r_u32(r))]
-    return ConstraintSystem(oracles, constraint_sets, flushes, n_channels, nz)
+    exponents = []
+    for _ in range(_r_u32(r)):
+        bits_ids = tuple(_r_u32(r) for _ in range(_r_u32(r)))
+        result_id = _r_u32(r)
+        base_level = _r_u32(r)
+        base_oracle = _r_i32(r)
+        base_const = _r_u128(r)
+        exponents.append(Exp(
+            bits_ids, result_id, base_level,
+            base_const=None if base_oracle >= 0 else base_const,
+            base_oracle=base_oracle if base_oracle >= 0 else None))
+    return ConstraintSystem(oracles, constraint_sets, flushes, n_channels, nz,
+                            exponents)

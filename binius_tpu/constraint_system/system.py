@@ -71,6 +71,7 @@ class ConstraintSystem:
     flushes: list = dataclasses.field(default_factory=list)    # list[Flush]
     n_channels: int = 0
     non_zero_claims: list = dataclasses.field(default_factory=list)  # list[NonZeroClaim]
+    exponents: list = dataclasses.field(default_factory=list)  # list[exp.Exp]
 
     def digest(self) -> bytes:
         toks = []
@@ -87,6 +88,8 @@ class ConstraintSystem:
         toks.append(("channels", self.n_channels))
         for nz in self.non_zero_claims:
             toks.append(("nonzero", nz.oracle_id))
+        for e in self.exponents:
+            toks.append(e.tokens())
         return groestl256(repr(toks).encode())
 
 
@@ -99,6 +102,7 @@ def validate_witness(system: ConstraintSystem, witness: dict, boundaries=()) -> 
     the boundaries.
     """
     _validate_channels(system, witness, boundaries)
+    _validate_exponents(system, witness)
     for nz in system.non_zero_claims:
         level, data = witness[nz.oracle_id]
         import jax.numpy as jnp
@@ -117,6 +121,26 @@ def validate_witness(system: ConstraintSystem, witness: dict, boundaries=()) -> 
             out = expr.evaluate(7, mls)
             if bool(jnp.any(out != 0)):
                 raise ValueError(f"zero constraint {k} violated on oracles {cs.oracle_ids}")
+
+
+def _validate_exponents(system: ConstraintSystem, witness: dict) -> None:
+    """Recompute each exp-result column from its bit columns and compare
+    (the validate-mode analog of `constraint_system/validate.rs`)."""
+    if not system.exponents:
+        return
+    import jax.numpy as jnp
+
+    from . import exp as exp_mod
+    recomputed = dict(witness)
+    exp_mod.make_exp_witnesses(system, recomputed)
+    for e in system.exponents:
+        lvl, have = witness[e.exp_result_id]
+        rlvl, want = recomputed[e.exp_result_id]
+        assert lvl == rlvl
+        if bool(jnp.any(have != want)):
+            raise ValueError(
+                f"exp result column (oracle {e.exp_result_id}) does not match "
+                f"base^exponent")
 
 
 def _validate_channels(system: ConstraintSystem, witness: dict, boundaries) -> None:

@@ -51,8 +51,14 @@ def _pack8(bits_i32):
 def mul_b8_batch(pairs):
     """Multiply a batch of B8 pairs: pairs (..., 2) uint32 -> (...) uint32.
 
-    All pairs across the whole Karatsuba tree are flattened into one matmul.
+    All pairs across the whole Karatsuba tree are flattened into ONE base-mul
+    op: an MXU matmul on TPU, a single 64KB-table gather elsewhere (one
+    gather HLO instead of 81 — XLA:CPU compile time of gather-heavy graphs
+    dominated round-2 profiling).
     """
+    if tower._b8_impl() != "mxu":
+        idx = (pairs[..., 0] << 8) | pairs[..., 1]
+        return jnp.take(jnp.asarray(tower._b8_mul_flat()), idx, axis=0).astype(jnp.uint32)
     a_bits = _unpack8(pairs[..., 0])                   # (..., 8)
     b_bits = _unpack8(pairs[..., 1])
     outer = (a_bits[..., :, None] * b_bits[..., None, :]).reshape(*pairs.shape[:-1], 64)

@@ -214,19 +214,15 @@ def mul_alpha(level: int, a):
 
 
 def mul(level: int, a, b):
-    """Element-wise tower multiplication. Shapes must broadcast."""
+    """Element-wise tower multiplication. Shapes must broadcast.
+
+    All backends batch the Karatsuba tree's base products into one op
+    (matmul on the MXU, a single table gather elsewhere) — see fastmul.
+    """
     if level <= 3:
         return _mul_b8(a, b)
-    if _b8_impl() == "mxu":
-        # Batch the whole Karatsuba tree's base products into one matmul.
-        from . import fastmul
-        return fastmul.mul_collect(level, a, b)
-    a0, a1 = _split(level, a)
-    b0, b1 = _split(level, b)
-    z0 = mul(level - 1, a0, b0)
-    z2 = mul(level - 1, a1, b1)
-    z1 = mul(level - 1, a0 ^ a1, b0 ^ b1) ^ z0 ^ z2
-    return _join(level, z0 ^ z2, z1 ^ mul_alpha(level - 1, z2))
+    from . import fastmul
+    return fastmul.mul_collect(level, a, b)
 
 
 def square(level: int, a):

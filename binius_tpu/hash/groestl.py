@@ -136,6 +136,93 @@ def _permute(state, is_q: bool, xp=np):
     return state
 
 
+# ---------------------------------------------------------------------------
+# Fast host path: T-table permutation on 8 column ints (64-bit each).
+# The transcript challenger performs thousands of sequential single-block
+# compressions; numpy per-op overhead dominated round-1 profiles (2.1M
+# np.roll calls), so the single-state path runs on Python ints with combined
+# SubBytes+MixBytes tables (the classic AES T-table trick; same output).
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _ttables() -> tuple:
+    """T[j][x] = 64-bit int whose byte i is MIX[(j-i)%8] * sbox[x]."""
+    sbox = aes_sbox()
+    out = []
+    for j in range(ROWS):
+        row = []
+        for x in range(256):
+            s = int(sbox[x])
+            v = 0
+            for i in range(ROWS):
+                v |= _gf_mul(MIX[(j - i) % 8], s) << (8 * i)
+            row.append(v)
+        out.append(tuple(row))
+    return tuple(out)
+
+
+@functools.lru_cache(maxsize=None)
+def _col_consts() -> tuple:
+    """(p_consts, q_consts): per round, per column, a 64-bit XOR mask
+    (byte i of column c = const[i][c])."""
+    pc, qc = _consts()
+    def pack(cs):
+        rounds = []
+        for r in range(ROUNDS):
+            rounds.append(tuple(
+                int(sum(int(cs[r][i, c]) << (8 * i) for i in range(ROWS)))
+                for c in range(COLS)))
+        return tuple(rounds)
+    return pack(pc), pack(qc)
+
+
+def _permute_cols(cols: list[int], is_q: bool) -> list[int]:
+    """P or Q on a state given as 8 column ints (byte i of col = row i)."""
+    T = _ttables()
+    p_consts, q_consts = _col_consts()
+    consts = q_consts if is_q else p_consts
+    shifts = SHIFTS_Q if is_q else SHIFTS_P
+    for r in range(ROUNDS):
+        rc = consts[r]
+        cols = [c ^ rc[i] for i, c in enumerate(cols)]
+        T0, T1, T2, T3, T4, T5, T6, T7 = T
+        s0, s1, s2, s3, s4, s5, s6, s7 = shifts
+        new = []
+        for c in range(COLS):
+            acc = (T0[(cols[(c + s0) % 8]) & 0xFF]
+                   ^ T1[(cols[(c + s1) % 8] >> 8) & 0xFF]
+                   ^ T2[(cols[(c + s2) % 8] >> 16) & 0xFF]
+                   ^ T3[(cols[(c + s3) % 8] >> 24) & 0xFF]
+                   ^ T4[(cols[(c + s4) % 8] >> 32) & 0xFF]
+                   ^ T5[(cols[(c + s5) % 8] >> 40) & 0xFF]
+                   ^ T6[(cols[(c + s6) % 8] >> 48) & 0xFF]
+                   ^ T7[(cols[(c + s7) % 8] >> 56) & 0xFF])
+            new.append(acc)
+        cols = new
+    return cols
+
+
+def _bytes_to_cols(data) -> list[int]:
+    """64 bytes (column-major fill) -> 8 column ints (byte i = row i)."""
+    b = bytes(data)
+    return [int.from_bytes(b[8 * c:8 * c + 8], "little") for c in range(COLS)]
+
+
+def _cols_to_bytes(cols: list[int]) -> bytes:
+    return b"".join(c.to_bytes(8, "little") for c in cols)
+
+
+def _compress_cols(h: list[int], m: list[int]) -> list[int]:
+    hp = _permute_cols([a ^ b for a, b in zip(h, m)], False)
+    qm = _permute_cols(m, True)
+    return [a ^ b ^ c for a, b, c in zip(hp, qm, h)]
+
+
+def _output_transform_cols(h: list[int]) -> bytes:
+    x = _permute_cols(h, False)
+    return _cols_to_bytes([a ^ b for a, b in zip(x, h)])[32:]
+
+
 def compress(h: np.ndarray, m: np.ndarray, xp=np) -> np.ndarray:
     """f(h, m) = P(h ^ m) ^ Q(m) ^ h on (..., 8, 8) states."""
     return _permute(h ^ m, False, xp) ^ _permute(m, True, xp) ^ h
@@ -162,14 +249,13 @@ def groestl256_pad(n_bytes: int) -> np.ndarray:
 
 
 def groestl256(data: bytes) -> bytes:
-    """One-shot Grøstl-256 digest (host)."""
-    msg = np.frombuffer(data, dtype=np.uint8)
-    msg = np.concatenate([msg, groestl256_pad(len(msg))])
-    h = bytes_to_state(IV_256.copy())
+    """One-shot Grøstl-256 digest (host, T-table path)."""
+    pad = groestl256_pad(len(data)).tobytes()
+    msg = bytes(data) + pad
+    h = _bytes_to_cols(IV_256.tobytes())
     for i in range(len(msg) // 64):
-        m = bytes_to_state(msg[i * 64:(i + 1) * 64])
-        h = compress(h, m)
-    return output_transform(h).tobytes()
+        h = _compress_cols(h, _bytes_to_cols(msg[i * 64:(i + 1) * 64]))
+    return _output_transform_cols(h)
 
 
 class Groestl256:
@@ -177,33 +263,30 @@ class Groestl256:
 
     def __init__(self):
         self._buf = bytearray()
-        self._h = bytes_to_state(IV_256.copy())
+        self._h = _bytes_to_cols(IV_256.tobytes())
         self._n_bytes = 0
 
     def update(self, data: bytes) -> "Groestl256":
         self._buf.extend(data)
         self._n_bytes += len(data)
         while len(self._buf) >= 64:
-            m = bytes_to_state(np.frombuffer(bytes(self._buf[:64]), dtype=np.uint8))
-            self._h = compress(self._h, m)
+            self._h = _compress_cols(self._h, _bytes_to_cols(self._buf[:64]))
             del self._buf[:64]
         return self
 
     def copy(self) -> "Groestl256":
         c = Groestl256.__new__(Groestl256)
         c._buf = bytearray(self._buf)
-        c._h = self._h.copy()
+        c._h = list(self._h)
         c._n_bytes = self._n_bytes
         return c
 
     def finalize(self) -> bytes:
-        tail = np.frombuffer(bytes(self._buf), dtype=np.uint8)
-        msg = np.concatenate([tail, groestl256_pad(self._n_bytes)])
-        h = self._h.copy()
+        msg = bytes(self._buf) + groestl256_pad(self._n_bytes).tobytes()
+        h = list(self._h)
         for i in range(len(msg) // 64):
-            m = bytes_to_state(msg[i * 64:(i + 1) * 64])
-            h = compress(h, m)
-        return output_transform(h).tobytes()
+            h = _compress_cols(h, _bytes_to_cols(msg[i * 64:(i + 1) * 64]))
+        return _output_transform_cols(h)
 
 
 def compress_pairs(pairs: np.ndarray, xp=np) -> np.ndarray:

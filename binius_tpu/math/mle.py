@@ -93,6 +93,72 @@ def evaluate_partial_high(level: int, data, n_vars: int, q_level: int, q_expansi
     return max(level, q_level), _partial_high_data(level, data, n_vars, q_level, q_expansion, k)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 2, 4))
+def _batched_partial_high_data(level: int, stack, n_vars: int, eq, keep: int):
+    """Batched partial-high eval: stack holds k same-shaped multilinears.
+
+    stack: (k, 2^n_vars [, limbs]) at `level`; eq: (2^(n_vars-keep), limbs)
+    B128 expansion of the bound high variables. Returns (k, 2^keep, limbs)
+    B128: out[m, i] = sum_j eq[j] * stack[m, (j << keep) | i].
+    """
+    k = stack.shape[0]
+    kh = n_vars - keep
+    d = stack.reshape(tower.elem_shape(level, (k, 1 << kh, 1 << keep)))
+    e = eq[None, :, None, :]  # (1, 2^kh, 1, limbs)
+    if level == 0:
+        p = jnp.where(d[..., None].astype(bool), jnp.broadcast_to(e, (k, 1 << kh, 1 << keep, eq.shape[-1])), jnp.uint32(0))
+    else:
+        de = tower.embed(level, 7, d)
+        p = tower.mul(7, de, e)
+    return tower.xor_reduce(p, axis=1)
+
+
+def _pad_stack_pow2(stack):
+    """Pad the leading (multilinear-count) dim to a power of two so batched
+    kernels compile once per bucket, not once per exact count."""
+    k = stack.shape[0]
+    k_pad = 1 << max(0, (k - 1).bit_length())
+    if k_pad == k:
+        return stack, k
+    pad = [(0, k_pad - k)] + [(0, 0)] * (stack.ndim - 1)
+    return jnp.pad(stack, pad), k
+
+
+def batched_evaluate_partial_high(level: int, stack, n_vars: int, eq, keep: int):
+    """Bind the high n_vars-keep variables of k stacked multilinears to a
+    B128 query given as its eq expansion; see `_batched_partial_high_data`."""
+    stack, k = _pad_stack_pow2(stack)
+    return 7, _batched_partial_high_data(level, stack, n_vars, eq, keep)[:k]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 4))
+def _batched_partial_low_data(level: int, stack, n_vars: int, coeffs, bind: int):
+    """Batched partial-low eval with an arbitrary B128 coefficient vector.
+
+    stack: (k, 2^n_vars [, limbs]) at `level`; coeffs: (2^bind, limbs) B128.
+    Returns (k, 2^(n_vars-bind), limbs) B128:
+    out[m, j] = sum_i coeffs[i] * stack[m, (j << bind) | i].
+    """
+    k = stack.shape[0]
+    d = stack.reshape(tower.elem_shape(level, (k, 1 << (n_vars - bind), 1 << bind)))
+    e = coeffs[None, None, :, :]  # (1, 1, 2^bind, limbs)
+    if level == 0:
+        p = jnp.where(d[..., None].astype(bool),
+                      jnp.broadcast_to(e, (k, 1 << (n_vars - bind), 1 << bind,
+                                           coeffs.shape[-1])), jnp.uint32(0))
+    else:
+        de = tower.embed(level, 7, d)
+        p = tower.mul(7, de, e)
+    return tower.xor_reduce(p, axis=2)
+
+
+def batched_evaluate_partial_low(level: int, stack, n_vars: int, coeffs, bind: int):
+    """Bind the low `bind` variables of k stacked multilinears with a B128
+    coefficient vector (eq expansion or Lagrange coefficients)."""
+    stack, k = _pad_stack_pow2(stack)
+    return 7, _batched_partial_low_data(level, stack, n_vars, coeffs, bind)[:k]
+
+
 def evaluate(level: int, data, n_vars: int, q_level: int, point):
     """Full evaluation at a point of shape (n_vars,)."""
     e = eq_ind_partial_eval(q_level, point)

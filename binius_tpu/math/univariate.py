@@ -12,8 +12,13 @@ is done at the *value* level throughout.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
-from ..fields import scalar
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import scalar, tower
 from .binary_subspace import BinarySubspace
 
 
@@ -83,6 +88,63 @@ class EvaluationDomain:
             for d, c in enumerate(basis):
                 coeffs[d] ^= scalar.mul(value_level, w, c)
         return coeffs
+
+
+# ---------------------------------------------------------------------------
+# Device Lagrange evaluation (barycentric): for the large univariate-skip
+# domains (d * 2^skip points) the O(n^2) host loop above is too slow; weights
+# are domain constants computed once on device, per-challenge evaluation is
+# O(n) device work with two multiplicative scans.
+# ---------------------------------------------------------------------------
+
+def _tree_prod(level: int, a, axis: int):
+    """Product-reduce B-level elements along `axis` via a log-depth tree."""
+    n = a.shape[axis]
+    a = jnp.moveaxis(a, axis, 0)
+    while n > 1:
+        if n % 2:
+            a = jnp.concatenate([a, tower.full(level, (1, *a.shape[1:-1]), 1)], axis=0)
+            n += 1
+        a = tower.mul(level, a[0::2], a[1::2])
+        n //= 2
+    return a[0]
+
+
+@functools.lru_cache(maxsize=None)
+def _barycentric_weights_np(points: tuple) -> np.ndarray:
+    """w_i = 1 / prod_{j != i} (x_i + x_j) as (n, 4) uint32 limbs (B128)."""
+    n = len(points)
+    xs = tower.from_ints(7, list(points))
+    diff = xs[:, None, :] ^ xs[None, :, :]
+    eye = jnp.asarray(np.eye(n, dtype=bool))
+    diff = jnp.where(eye[:, :, None], tower.full(7, (n, n), 1), diff)
+    prod = _tree_prod(7, diff, axis=1)
+    w = tower.invert(7, prod)
+    return np.asarray(jax.device_get(w))
+
+
+@jax.jit
+def _lagrange_evals_jit(xs, w, z):
+    """L_i(z) for all i: xs (n, 4) domain points, w (n, 4) barycentric
+    weights, z (4,). Uses exclusive prefix/suffix products of (z + x_j), so
+    z landing exactly on a domain point is handled without division."""
+    t = z[None, :] ^ xs  # (n, 4)
+    mulf = functools.partial(tower.mul, 7)
+    pre = jax.lax.associative_scan(mulf, t, axis=0)
+    suf = jax.lax.associative_scan(mulf, t, axis=0, reverse=True)
+    one = tower.full(7, (1,), 1)
+    pre_excl = jnp.concatenate([one, pre[:-1]], axis=0)
+    suf_excl = jnp.concatenate([suf[1:], one], axis=0)
+    return tower.mul(7, w, tower.mul(7, pre_excl, suf_excl))
+
+
+def lagrange_evals_device(points: tuple, z: int):
+    """Device (n, 4) B128 array of Lagrange basis evals L_i(z) over `points`
+    (canonical ints). Weights are cached per domain."""
+    w = jnp.asarray(_barycentric_weights_np(tuple(points)))
+    xs = tower.from_ints(7, list(points))
+    zz = tower.from_ints(7, [z])[0]
+    return _lagrange_evals_jit(xs, w, zz)
 
 
 def evaluate_univariate(level: int, coeffs: list[int], z: int) -> int:

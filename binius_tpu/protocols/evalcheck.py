@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax.numpy as jnp
+
 from ..constraint_system import oracle as om
 from ..fields import scalar, tower
 from ..math import mle
@@ -57,6 +59,47 @@ class _Walker:
         self.witness = witness  # dict oracle_id -> (level, data); prover only
         self.committed: list[EvalcheckClaim] = []
         self.seen: dict = {}
+        # Prover-side device-work amortization (the reference's MemoizedData,
+        # `evalcheck/prove.rs:173`, taken further: whole batches per kernel).
+        self._eq_memo: dict = {}
+        self._wit_eval_cache: dict = {}
+
+    def _eq_expansion(self, point: tuple):
+        """Memoized device eq-ind expansion of a B128 point tuple."""
+        e = self._eq_memo.get(point)
+        if e is None:
+            e = mle.eq_ind_partial_eval(LEVEL, tower.from_ints(LEVEL, list(point)))
+            self._eq_memo[point] = e
+        return e
+
+    def _prefetch_witness_evals(self, queue) -> None:
+        """Batch-evaluate all inner-oracle witness evals needed by the
+        LinearCombination claims in `queue` (one device call per
+        (level, n_vars, point) group instead of one per inner oracle)."""
+        wanted: dict = {}
+        for claim in queue:
+            key = _dedup_key(claim)
+            if key in self.seen:
+                continue
+            o = self.oracles[claim.oracle_id]
+            if o.variant != om.LINEAR_COMBINATION:
+                continue
+            for iid in o.inner:
+                k = (iid, claim.point)
+                if k not in self._wit_eval_cache:
+                    wanted[k] = None
+        groups: dict = {}
+        for iid, point in wanted:
+            lvl, _ = self.witness[iid]
+            n = self.oracles[iid].n_vars
+            groups.setdefault((lvl, n, point), []).append(iid)
+        for (lvl, n, point), iids in groups.items():
+            eq = self._eq_expansion(point)
+            stack = jnp.stack([self.witness[i][1] for i in iids], axis=0)
+            _, out = mle.batched_evaluate_partial_high(lvl, stack, n, eq, 0)
+            vals = tower.to_ints(LEVEL, out)
+            for i, v in zip(iids, vals):
+                self._wit_eval_cache[(i, point)] = v
 
     # -- transcript hooks --------------------------------------------------
     def _io_scalars(self, values_if_prover):
@@ -69,6 +112,8 @@ class _Walker:
     def run(self, claims: list[EvalcheckClaim]) -> list[EvalcheckClaim]:
         queue = list(claims)
         while queue:
+            if self.is_prover:
+                self._prefetch_witness_evals(queue)
             shift_entries: list[_ShiftEntry] = []
             composite_entries: list[_CompositeEntry] = []
             next_queue: list[EvalcheckClaim] = []
@@ -119,11 +164,51 @@ class _Walker:
             raise NotImplementedError(f"evalcheck for oracle variant {o.variant}")
 
     def _eval_witness(self, oid: int, point) -> int:
+        cached = self._wit_eval_cache.get((oid, tuple(point)))
+        if cached is not None:
+            return cached
         level, data = self.witness[oid]
         o = self.oracles[oid]
         _, v = mle.evaluate(level, data, o.n_vars, LEVEL,
                             tower.from_ints(LEVEL, list(point)))
-        return tower.to_ints(LEVEL, v[None, :])[0]
+        val = tower.to_ints(LEVEL, v[None, :])[0]
+        self._wit_eval_cache[(oid, tuple(point))] = val
+        return val
+
+    def _shift_pair_stack(self, entries: list[_ShiftEntry], b: int):
+        """(2k, 2^b, 4) B128 stack [proj_0, ind_0, proj_1, ind_1, ...] for k
+        shift entries with equal block bits b: inner-multilinear projections
+        batched per (level, n_vars, suffix) group, shift indicators from one
+        batched carry-DP kernel."""
+        k = len(entries)
+        groups: dict = {}
+        for idx, e in enumerate(entries):
+            o = e.oracle
+            inner = self.oracles[o.inner[0]]
+            ilevel, _ = self.witness[o.inner[0]]
+            z_high = tuple(e.claim.point[b:])
+            groups.setdefault((ilevel, inner.n_vars, z_high), []).append(idx)
+        chunks, order = [], []
+        for (ilevel, n, z_high), idxs in groups.items():
+            stack = jnp.stack([self.witness[entries[i].oracle.inner[0]][1]
+                               for i in idxs], axis=0)
+            if n == b:
+                proj = tower.embed(ilevel, LEVEL, stack)
+            else:
+                _, proj = mle.batched_evaluate_partial_high(
+                    ilevel, stack, n, self._eq_expansion(z_high), b)
+            chunks.append(proj)
+            order.extend(idxs)
+        inv = [0] * k
+        for pos, idx in enumerate(order):
+            inv[idx] = pos
+        proj_all = jnp.take(jnp.concatenate(chunks, axis=0),
+                            jnp.asarray(inv, dtype=jnp.int32), axis=0)
+        ind_all = shift_ind.partial_mle_batch(
+            [e.oracle.shift_variant for e in entries], b,
+            [e.oracle.shift_offset for e in entries],
+            [list(e.claim.point[:b]) for e in entries])
+        return jnp.stack([proj_all, ind_all], axis=1).reshape(2 * k, 1 << b, 4)
 
     def _run_sumcheck_batch(self, shift_entries, composite_entries) -> list[EvalcheckClaim]:
         """Batch-prove/verify the sumchecks spawned by shifted and composite
@@ -155,29 +240,28 @@ class _Walker:
 
         if self.is_prover:
             provers = []
-            for (kind, e, nv), claim in zip(specs, claims):
-                o = e.oracle
+            i = 0
+            while i < len(specs):
+                kind, e, nv = specs[i]
                 if kind == "shift":
-                    b = o.shift_block_bits
-                    inner = self.oracles[o.inner[0]]
-                    ilevel, idata = self.witness[o.inner[0]]
-                    z_high = list(e.claim.point[b:])
-                    if z_high:
-                        eq = mle.eq_ind_partial_eval(LEVEL, tower.from_ints(LEVEL, z_high))
-                        plvl, proj = mle.evaluate_partial_high(
-                            ilevel, idata, inner.n_vars, LEVEL, eq, inner.n_vars - b)
-                    else:
-                        plvl, proj = ilevel, idata
-                    ind = shift_ind.partial_mle(o.shift_variant, b, o.shift_offset,
-                                                list(e.claim.point[:b]))
-                    provers.append(sc_prove.RegularSumcheckProver(
-                        claim, [(plvl, proj), (LEVEL, ind)], order_high=False))
+                    # contiguous run of shift specs with equal n_vars -> ONE
+                    # batched device-resident prover for all of them
+                    j = i
+                    while j < len(specs) and specs[j][0] == "shift" and specs[j][2] == nv:
+                        j += 1
+                    group = [s[1] for s in specs[i:j]]
+                    provers.append(sc_prove.BatchedBivariateSumcheckProver(
+                        claims[i:j], self._shift_pair_stack(group, nv),
+                        order_high=False))
+                    i = j
                 else:
-                    eq_ml = sc_prove.eq_ind_expansion_multilinear(list(e.claim.point))
-                    mls = [eq_ml] + [self.witness[i] for i in o.inner]
+                    o = e.oracle
+                    eq_ml = (LEVEL, self._eq_expansion(tuple(e.claim.point)))
+                    mls = [eq_ml] + [self.witness[ii] for ii in o.inner]
                     provers.append(sc_prove.RegularSumcheckProver(
-                        claim, mls, order_high=False,
+                        claims[i], mls, order_high=False,
                         eq_ind_challenges=tuple(e.claim.point)))
+                    i += 1
             out = sc_prove.batch_prove(provers, self.transcript)
             ml_evals = out.multilinear_evals
             challenges = out.challenges

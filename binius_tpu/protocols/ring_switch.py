@@ -22,6 +22,7 @@ import dataclasses
 import functools
 
 import jax
+import jax.numpy as jnp
 
 from ..fields import scalar, tower
 from ..math import mle
@@ -123,6 +124,12 @@ class RingSwitchEvalClaim:
         return self.point[self.kappa:]
 
 
+def _witness_n_vars(level: int, data) -> int:
+    """log2 element count of a device multilinear at `level` (elements are
+    the leading axis in every tower layout)."""
+    return (int(data.shape[0]) - 1).bit_length()
+
+
 def _group_by(values):
     """Group equal values, preserving first-seen order. Returns (uniques,
     index_of_each)."""
@@ -215,28 +222,136 @@ class ReducedRingSwitch:
     transparent_mles: list  # prover: [(data, n_vars)]; verifier: [(n_vars, eval_fn)]
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def _fold_vertical_batch_jit(level: int, scaled, rc):
+    """Batched TensorAlgElem.fold_vertical: scaled (k, 2^kappa, 4limbs) B128,
+    rc (2^kappa, 4). Returns (k, 4): transpose each element then row-fold."""
+    coords = tower.split_to_subfield(LEVEL, level, scaled)   # (k, 2^kj, 2^ki)
+    coords_t = jnp.swapaxes(coords, 1, 2)                    # (k, 2^ki, 2^kj)
+    joined = tower.join_from_subfield(LEVEL, level, coords_t)  # (k, 2^kappa, 4)
+    return tower.inner_product(LEVEL, joined, rc[None, :, :], axis=1)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _eq_ind_mle_batch_jit(level: int, eq, mix, rc):
+    """Batched ring-switch eq-indicator MLEs over one shared suffix expansion:
+    eq (2^n, 4), mix (k, 4), rc (2^kappa, 4) -> (k, 2^n, 4)."""
+    scaled = tower.mul(LEVEL, eq[None, :, :], mix[:, None, :])
+    coords = tower.split_to_subfield(LEVEL, level, scaled)   # (k, 2^n, nc)
+    emb = tower.embed(level, LEVEL, coords)                  # (k, 2^n, nc, 4)
+    return tower.inner_product(LEVEL, emb, rc[None, None, :, :], axis=2)
+
+
 def prove(claims: list[RingSwitchEvalClaim], witnesses: list, transcript) -> ReducedRingSwitch:
     """witnesses[i] = (level, data) for committed multilinear i (claim order
     references committed_idx). Claims must be sorted ascending by packed
-    n_vars (len(suffix))."""
+    n_vars (len(suffix)).
+
+    All tensor-algebra work is batched on device: claims group by
+    (level, n_vars, suffix) for one partial-eval kernel each (the reference
+    shares eq expansions per suffix, `ring_switch/prove.rs:42`; here whole
+    claim groups share one kernel), and the row-batch fold + transparent
+    MLEs run as per-level batch kernels.
+    """
     n = len(claims)
     mixing = _mixing_coeffs(transcript, n)
-    tensor_elems = [_partial_eval_tensor(c, witnesses[c.committed_idx]) for c in claims]
-    scaled = [t.scale_vertical(m) for t, m in zip(tensor_elems, mixing)]
+    mix_dev = tower.from_ints(LEVEL, mixing)  # (n, 4)
+
+    # --- batched tensor-algebra partial evals, scaled by mixing coeffs ---
+    eq_memo: dict = {}
+
+    def eq_of(suffix):
+        e = eq_memo.get(suffix)
+        if e is None:
+            e = mle.eq_ind_partial_eval(LEVEL, tower.from_ints(LEVEL, list(suffix)))
+            eq_memo[suffix] = e
+        return e
+
+    levels = sorted({c.level for c in claims})
+    scaled_by_level: dict = {}   # level -> (k_lvl, 2^kappa, 4) device
+    pos_in_level: list = [None] * n
+    claims_of_level: dict = {lvl: [] for lvl in levels}
+    for i, c in enumerate(claims):
+        pos_in_level[i] = len(claims_of_level[c.level])
+        claims_of_level[c.level].append(i)
+    for lvl in levels:
+        idxs = claims_of_level[lvl]
+        kappa = 7 - lvl
+        groups: dict = {}
+        for pos, i in enumerate(idxs):
+            c = claims[i]
+            wit_n = _witness_n_vars(lvl, witnesses[c.committed_idx][1])
+            groups.setdefault((len(c.point), c.suffix, wit_n), []).append(pos)
+        chunks, order = [], []
+        for (nv, suffix, wit_n), poss in groups.items():
+            stack = jnp.stack([witnesses[claims[idxs[p]].committed_idx][1]
+                               for p in poss], axis=0)
+            if nv == kappa:
+                if wit_n < kappa:
+                    # tiny column: repeat the short value vector to fill one
+                    # packed element (padded_packed_eval semantics)
+                    reps = [1] * stack.ndim
+                    reps[1] = 1 << (kappa - wit_n)
+                    stack = jnp.tile(stack, reps)
+                _, t = 7, tower.embed(lvl, LEVEL, stack)
+            else:
+                _, t = mle.batched_evaluate_partial_high(
+                    lvl, stack, nv, eq_of(suffix), kappa)
+            chunks.append(t)
+            order.extend(poss)
+        inv = [0] * len(idxs)
+        for p2, p in enumerate(order):
+            inv[p] = p2
+        tensors = jnp.take(jnp.concatenate(chunks, axis=0),
+                           jnp.asarray(inv, dtype=jnp.int32), axis=0)
+        mix_lvl = jnp.take(mix_dev, jnp.asarray(idxs, dtype=jnp.int32), axis=0)
+        scaled_by_level[lvl] = tower.mul(LEVEL, tensors, mix_lvl[:, None, :])
+
+    # --- mix per shared prefix, write tensor elements to the transcript ---
     prefixes, claim_to_prefix = _group_by([c.prefix for c in claims])
-    mixed = [None] * len(prefixes)
-    for t, pi, c in zip(scaled, claim_to_prefix, claims):
-        mixed[pi] = t if mixed[pi] is None else mixed[pi].add(t)
     w = transcript.message()
-    for t in mixed:
-        w.write_scalars(LEVEL, t.elems)
+    for pi in range(len(prefixes)):
+        members = [i for i, p in enumerate(claim_to_prefix) if p == pi]
+        lvl = claims[members[0]].level
+        rows = jnp.take(scaled_by_level[lvl],
+                        jnp.asarray([pos_in_level[i] for i in members],
+                                    dtype=jnp.int32), axis=0)
+        mixed = tower.xor_reduce(rows, axis=0)
+        w.write_scalars(LEVEL, tower.to_ints(LEVEL, mixed))
+
+    # --- row-batching challenges, batched vertical folds ---
     max_kappa = max(c.kappa for c in claims)
     row_challenges = transcript.sample_scalars(LEVEL, max_kappa)
     row_coeffs = _eq_expansion_scalar(row_challenges)
-    row_batched = [t.fold_vertical(row_coeffs) for t in scaled]
+    row_batched = [0] * n
+    rb_by_level: dict = {}
+    for lvl in levels:
+        kappa = 7 - lvl
+        rc = tower.from_ints(LEVEL, row_coeffs[:1 << kappa])
+        rb_by_level[lvl] = _fold_vertical_batch_jit(lvl, scaled_by_level[lvl], rc)
+    for lvl in levels:
+        vals = tower.to_ints(LEVEL, rb_by_level[lvl])
+        for pos, i in enumerate(claims_of_level[lvl]):
+            row_batched[i] = vals[pos]
     transcript.message().write_scalars(LEVEL, row_batched)
-    transparents = [ring_switch_eq_ind_mle(c.level, list(c.suffix), m, row_coeffs)
-                    for c, m in zip(claims, mixing)]
+
+    # --- batched transparent MLEs, grouped by (level, suffix) ---
+    transparents: list = [None] * n
+    tgroups: dict = {}
+    for i, c in enumerate(claims):
+        tgroups.setdefault((c.level, c.suffix), []).append(i)
+    for (lvl, suffix), idxs in tgroups.items():
+        kappa = 7 - lvl
+        rc = tower.from_ints(LEVEL, row_coeffs[:1 << kappa])
+        eq = eq_of(suffix)
+        # chunk to bound the (k, 2^n, 2^kappa, 4) intermediate at ~2^24 words
+        max_chunk = max(1, (1 << 24) // max(1, (eq.shape[0] << kappa) * 4))
+        for start in range(0, len(idxs), max_chunk):
+            part = idxs[start:start + max_chunk]
+            mix_part = jnp.take(mix_dev, jnp.asarray(part, dtype=jnp.int32), axis=0)
+            out = _eq_ind_mle_batch_jit(lvl, eq, mix_part, rc)
+            for j, i in enumerate(part):
+                transparents[i] = (out[j], len(suffix))
     sc = [PIOPSumcheckClaim(len(c.suffix), c.committed_idx, i, rb)
           for i, (c, rb) in enumerate(zip(claims, row_batched))]
     return ReducedRingSwitch(sc, transparents)

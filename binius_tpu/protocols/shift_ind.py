@@ -16,7 +16,11 @@ LL(o) + LR(2^b - o) (disjoint supports).
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..fields import scalar, tower
 
@@ -138,6 +142,118 @@ def _lr_partial_mle(b: int, o: int, xs):
             ns[c_out] = jnp.concatenate([lo, hi], axis=0)
         s = ns
     return s[0]
+
+
+# ---------------------------------------------------------------------------
+# Batched partial MLEs: one carry-DP over a whole batch of claims.
+#
+# The evalcheck shift phase spawns one bivariate sumcheck per shifted-oracle
+# claim; the reference amortizes them via MemoizedData. Here the stronger
+# TPU-native form: offsets, variants, and per-claim points become traced
+# arrays, so all k indicators are produced by ONE jitted kernel with 2*b DP
+# steps on (k, 2^stage) tiles.
+# ---------------------------------------------------------------------------
+
+def _dp_step_full_width(s, wx, o_bit, y_bit, is_lr: bool):
+    """One full-width carry-DP step shared by LL and LR.
+
+    s: {carry: (k, 2^b, 4)} (value at position y depends only on y's already
+    processed low bits — stored redundantly at full width so every step has
+    identical shapes and the whole DP fits in one `lax.scan` body).
+    wx: {bit: (k, 1, 4)} weights of the x factor; o_bit: (k,) current offset
+    bit; y_bit: (1, 2^b, 1) the current bit of each hypercube position.
+    """
+    def step(o_k):
+        out = {0: None, 1: None}
+        for c in (0, 1):
+            for other in (0, 1):
+                if is_lr:
+                    # branch variable is y's bit; x weight index is derived
+                    y_req, c_out = _ll_transition(o_k, other, c)
+                    wsel, ybit_req = wx[y_req], other
+                else:
+                    y_req, c_out = _ll_transition(o_k, other, c)
+                    wsel, ybit_req = wx[other], y_req
+                term = tower.mul(LEVEL, s[c], wsel)
+                term = jnp.where(y_bit == ybit_req, term, jnp.uint32(0))
+                out[c_out] = term if out[c_out] is None else out[c_out] ^ term
+        return out
+
+    ns0, ns1 = step(0), step(1)
+    sel = (o_bit != 0)[:, None, None]
+    return {c: jnp.where(sel, ns1[c], ns0[c]) for c in (0, 1)}
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _partial_mle_batch_jit(b: int, xs, ll_off, ll_act, lr_off, lr_act):
+    """xs: (k, b, 4) B128 per-claim x points; *_off uint32 (k,); *_act bool (k,).
+    Returns (k, 2^b, 4): active-LL(ll_off) + active-LR(lr_off) per claim.
+
+    The DP runs full-width under `lax.scan`, so the compiled graph is ONE
+    step regardless of b (XLA compile time was the bottleneck before).
+    """
+    k = xs.shape[0]
+    one = tower.full(LEVEL, (), 1)
+    one_state = jnp.broadcast_to(
+        tower.full(LEVEL, (1, 1), 1), (k, 1 << b, tower.n_limbs(LEVEL))).astype(jnp.uint32)
+    zero_state = jnp.zeros_like(one_state)
+    iota = jax.lax.broadcasted_iota(jnp.uint32, (1, 1 << b, 1), 1)
+
+    def body(carry, inputs):
+        s_ll0, s_ll1, s_lr0, s_lr1, kb = carry
+        xk, ll_bit, lr_bit = inputs
+        xk = xk[:, None, :]  # (k, 1, 4)
+        wx = {1: xk, 0: tower.add(LEVEL, xk, one)}
+        y_bit = (iota >> kb) & 1
+        s_ll = _dp_step_full_width({0: s_ll0, 1: s_ll1}, wx, ll_bit, y_bit, False)
+        s_lr = _dp_step_full_width({0: s_lr0, 1: s_lr1}, wx, lr_bit, y_bit, True)
+        return (s_ll[0], s_ll[1], s_lr[0], s_lr[1], kb + 1), None
+
+    shifts = jnp.arange(b, dtype=jnp.uint32)
+    ll_bits = (ll_off[None, :] >> shifts[:, None]) & 1   # (b, k)
+    lr_bits = (lr_off[None, :] >> shifts[:, None]) & 1
+    xs_steps = jnp.moveaxis(xs, 1, 0)                    # (b, k, 4)
+    (s_ll0, _, s_lr0, _, _), _ = jax.lax.scan(
+        body, (one_state, zero_state, one_state, zero_state, jnp.uint32(0)),
+        (xs_steps, ll_bits, lr_bits))
+    out = jnp.where(ll_act[:, None, None], s_ll0, jnp.uint32(0))
+    out = out ^ jnp.where(lr_act[:, None, None], s_lr0, jnp.uint32(0))
+    return out
+
+
+def partial_mle_batch(variants: list[str], b: int, offsets: list[int],
+                      x_points: list[list[int]]):
+    """Batched MLEs over y of shift_ind(x_points[i], y) for k claims sharing
+    block size b. Returns a (k, 2^b) B128 device array (limb layout)."""
+    k = len(variants)
+    ll_off = np.zeros(k, dtype=np.uint32)
+    lr_off = np.zeros(k, dtype=np.uint32)
+    ll_act = np.zeros(k, dtype=bool)
+    lr_act = np.zeros(k, dtype=bool)
+    for i, (v, o) in enumerate(zip(variants, offsets)):
+        if v == LOGICAL_LEFT:
+            ll_off[i], ll_act[i] = o, True
+        elif v == LOGICAL_RIGHT:
+            lr_off[i], lr_act[i] = o, True
+        elif v == CIRCULAR_LEFT:
+            assert 0 < o < (1 << b), "circular shift offset must be in (0, 2^b)"
+            ll_off[i], ll_act[i] = o, True
+            lr_off[i], lr_act[i] = (1 << b) - o, True
+        else:
+            raise ValueError(v)
+    xs = np.asarray(jnp.stack([tower.from_ints(LEVEL, pt) for pt in x_points]))
+    # pad the claim count to a power of two (kernel reuse across groups)
+    k_pad = 1 << max(0, (k - 1).bit_length())
+    if k_pad > k:
+        xs = np.pad(xs, ((0, k_pad - k), (0, 0), (0, 0)))
+        ll_off = np.pad(ll_off, (0, k_pad - k))
+        lr_off = np.pad(lr_off, (0, k_pad - k))
+        ll_act = np.pad(ll_act, (0, k_pad - k))
+        lr_act = np.pad(lr_act, (0, k_pad - k))
+    out = _partial_mle_batch_jit(b, jnp.asarray(xs), jnp.asarray(ll_off),
+                                 jnp.asarray(ll_act), jnp.asarray(lr_off),
+                                 jnp.asarray(lr_act))
+    return out[:k]
 
 
 def apply_shift_ints(variant: str, b: int, o: int, vals: list[int]) -> list[int]:

@@ -15,6 +15,7 @@ from __future__ import annotations
 from ...fields import scalar
 from . import common
 from .common import LEVEL
+from .verify import _eq_scalar
 
 
 def batch_weighted_value(coeff: int, values: list[int]) -> int:
@@ -26,20 +27,35 @@ def batch_weighted_value(coeff: int, values: list[int]) -> int:
 
 
 class FrontLoadedBatchProver:
-    """Provers must be sorted ascending by n_vars, order_high folding."""
+    """Provers must be sorted ascending by n_vars, order_high folding.
 
-    def __init__(self, provers: list, transcript):
+    `coeffs`: pass pre-sampled batching coefficients (the univariate-skip
+    zerocheck reuses its univariate-round coefficients,
+    `front_loaded.rs` `BatchProver::new_prebatched`); None samples fresh ones.
+    Provers with `eq_ind_challenges` set skip their position-0 (eq indicator)
+    eval in the transcript — the verifier reconstructs it.
+    """
+
+    def __init__(self, provers: list, transcript, coeffs: list | None = None):
         assert all(provers[i].n_vars <= provers[i + 1].n_vars for i in range(len(provers) - 1))
         self.provers = list(provers)   # queue front = fewest vars
-        self.coeffs = transcript.sample_scalars(LEVEL, len(provers))
+        if coeffs is None:
+            coeffs = transcript.sample_scalars(LEVEL, len(provers))
+        assert len(coeffs) == len(provers)
+        self.coeffs = list(coeffs)
         self.round = 0
+        self.multilinear_evals: list = []  # claim-order final evals (incl. eq)
+        self.finish_rounds: list = []      # round at which each claim finished
 
     def _finish_ready(self, writer) -> None:
         while self.provers and self.provers[0].n_vars == self.round:
             p = self.provers.pop(0)
             self.coeffs.pop(0)
             evals = p.finish()
-            writer.write_scalars(LEVEL, evals)
+            send = evals[1:] if getattr(p, "eq_ind_challenges", None) is not None else evals
+            writer.write_scalars(LEVEL, send)
+            self.multilinear_evals.append(evals)
+            self.finish_rounds.append(self.round)
 
     def send_round_proof(self, transcript) -> None:
         w = transcript.message()
@@ -69,25 +85,52 @@ class FrontLoadedBatchProver:
 
 
 class FrontLoadedBatchVerifier:
-    """Round-by-round verifier; claims ascending by n_vars."""
+    """Round-by-round verifier; claims ascending by n_vars.
 
-    def __init__(self, claims: list, transcript):
+    `coeffs`/`presummed`: prebatched mode — coefficients and the initial
+    batched sum come from an outer reduction (univariate-skip zerocheck).
+    `eq_ind_points[i]`: claim i's position-0 multilinear is the eq indicator
+    of that point; its eval is reconstructed from the challenges instead of
+    being read from the transcript.
+    """
+
+    def __init__(self, claims: list, transcript, coeffs: list | None = None,
+                 presummed: int | None = None, eq_ind_points: list | None = None):
         assert all(claims[i].n_vars <= claims[i + 1].n_vars for i in range(len(claims) - 1))
         self.claims = list(claims)
-        self.coeffs = transcript.sample_scalars(LEVEL, len(claims))
-        s = 0
-        for claim, c in zip(self.claims, self.coeffs):
-            s ^= batch_weighted_value(c, [cs.sum for cs in claim.composite_sums])
-        self.sum = s
+        if coeffs is None:
+            coeffs = transcript.sample_scalars(LEVEL, len(claims))
+        assert len(coeffs) == len(claims)
+        self.coeffs = list(coeffs)
+        if presummed is None:
+            s = 0
+            for claim, c in zip(self.claims, self.coeffs):
+                s ^= batch_weighted_value(c, [cs.sum for cs in claim.composite_sums])
+            presummed = s
+        self.sum = presummed
+        self.eq_ind_points = list(eq_ind_points) if eq_ind_points is not None \
+            else [None] * len(claims)
+        assert len(self.eq_ind_points) == len(claims)
         self.round = 0
+        self.challenges: list = []
         self.multilinear_evals: list = []
+        self.finish_rounds: list = []
 
     def try_finish_claims(self, transcript) -> None:
         while self.claims and self.claims[0].n_vars == self.round:
             claim = self.claims.pop(0)
             coeff = self.coeffs.pop(0)
-            evals = transcript.message().read_scalars(LEVEL, claim.n_multilinears)
+            eq_pt = self.eq_ind_points.pop(0)
+            n_read = claim.n_multilinears - (1 if eq_pt is not None else 0)
+            evals = transcript.message().read_scalars(LEVEL, n_read)
+            if eq_pt is not None:
+                # high-to-low folding: var j of the claim was bound at round
+                # (n_vars - 1 - j), i.e. the point is the reversed challenge
+                # prefix of length n_vars
+                pt = list(reversed(self.challenges[:claim.n_vars]))
+                evals = [_eq_scalar(list(eq_pt), pt), *evals]
             self.multilinear_evals.append(evals)
+            self.finish_rounds.append(self.round)
             vals = [cs.composition.evaluate_scalar(LEVEL, evals)
                     for cs in claim.composite_sums]
             self.sum ^= batch_weighted_value(coeff, vals)

@@ -317,6 +317,115 @@ class BivariateSumcheckProver:
         return tower.to_ints(LEVEL, vals)
 
 
+@functools.lru_cache(maxsize=None)
+def _interp_matrix_np(points: tuple) -> np.ndarray:
+    """Inverse-Vandermonde W for a fixed domain, as (n, n, 4) uint32 limbs:
+    coeffs_j = XOR_i W[j, i] * values_i. Host-precomputed once per domain."""
+    dom = EvaluationDomain(3, points)
+    n = len(points)
+    w = np.zeros((n, n, 4), dtype=np.uint32)
+    for i in range(n):
+        unit = [0] * n
+        unit[i] = 1
+        coeffs = dom.interpolate(LEVEL, unit)
+        for j, c in enumerate(coeffs):
+            for limb in range(4):
+                w[j, i, limb] = (c >> (32 * limb)) & 0xFFFFFFFF
+    return w
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _biv_round_coeffs_jit(log_padded: int, order_high: bool, stack, idx_a, idx_b,
+                          active, interp):
+    """Per-claim round-polynomial coefficients with on-device interpolation.
+
+    stack [m, padded, 4]; interp (3, 3, 4) B128. Returns (n_coeffs, n_c, 4).
+    """
+    vals = _biv_round_values_jit.__wrapped__(log_padded, order_high, stack,
+                                             idx_a, idx_b, active)
+    n_c = idx_a.shape[0]
+    v = vals.reshape(3, n_c, 4)
+    prod = tower.mul(LEVEL, interp[:, :, None, :], v[None, :, :, :])
+    return tower.xor_reduce(prod, axis=1)  # (n_coeffs, n_c, 4)
+
+
+class BatchedBivariateSumcheckProver:
+    """k independent bivariate-product sumcheck claims of equal n_vars proven
+    as ONE device-resident batch: a (2k, padded, 4) stack, one round-eval+
+    interpolate kernel and one fold kernel per round for all claims.
+
+    Transcript-equivalent to k separate provers in the front-loaded batch:
+    `batch_prove` samples one batching coefficient per claim (`n_claims`) and
+    writes per-claim final evals in claim order. This is the TPU-native
+    analog of the reference's per-claim MemoizedData amortization
+    (`evalcheck/prove.rs:173`) taken to its conclusion.
+    """
+
+    eq_ind_challenges = None
+    multi_claim = True
+
+    def __init__(self, claims: list, pair_stack, order_high: bool = False):
+        """claims: list of SumcheckClaim (each 2 multilinears, one bivariate
+        product composite). pair_stack: (2k, 2^n_vars, 4) B128 device array,
+        rows [ml0_of_claim0, ml1_of_claim0, ml0_of_claim1, ...]."""
+        assert claims
+        nv = claims[0].n_vars
+        assert all(c.n_vars == nv for c in claims)
+        self.claims = claims
+        self.n_claims = len(claims)
+        self.order_high = order_high
+        self.n_remaining = nv
+        self.log_padded = max(_bucket_log(nv), 1)
+        k2 = pair_stack.shape[0]
+        assert k2 == 2 * self.n_claims
+        # Pad the claim count to a power of two so the jitted round/fold
+        # kernels are shared across differently-sized claim groups (XLA
+        # compiles per shape; compile time dominated round 1's profile).
+        k_pad = 1 << max(0, (self.n_claims - 1).bit_length())
+        if pair_stack.shape[1] < (1 << self.log_padded) or k_pad > self.n_claims:
+            pair_stack = jnp.pad(
+                pair_stack,
+                ((0, 2 * k_pad - k2), (0, (1 << self.log_padded) - pair_stack.shape[1]),
+                 (0, 0)))
+        self.stack = pair_stack
+        self.idx_a = jnp.asarray(np.arange(0, 2 * k_pad, 2, dtype=np.int32))
+        self.idx_b = jnp.asarray(np.arange(1, 2 * k_pad, 2, dtype=np.int32))
+        self.domain = EvaluationDomain.from_subspace(3, 3)
+
+    @property
+    def n_vars(self) -> int:
+        return self.claims[0].n_vars
+
+    def compute_round_polys(self) -> list[list[int]]:
+        active = jnp.uint32(1 << self.n_remaining)
+        interp = jnp.asarray(_interp_matrix_np(self.domain.points))
+        coeffs = _biv_round_coeffs_jit(self.log_padded, self.order_high, self.stack,
+                                       self.idx_a, self.idx_b, active, interp)
+        flat = np.asarray(jax.device_get(coeffs))[:, :self.n_claims]  # (3, n_c, 4)
+        out = []
+        for ci in range(self.n_claims):
+            out.append([int(sum(int(x) << (32 * k) for k, x in enumerate(flat[j, ci])))
+                        for j in range(flat.shape[0])])
+        return out
+
+    def fold(self, challenge: int) -> None:
+        ch = tower.from_ints(LEVEL, [challenge])[0]
+        active = jnp.uint32(1 << self.n_remaining)
+        self.stack = _biv_fold_jit(self.log_padded, self.order_high, self.stack,
+                                   ch, active)
+        self.n_remaining -= 1
+        target = max(_bucket_log(self.n_remaining), 0)
+        if self.log_padded > target:
+            self.stack = jax.lax.slice_in_dim(self.stack, 0, 1 << target, axis=1)
+            self.log_padded = target
+
+    def finish(self) -> list[list[int]]:
+        """Per-claim [ml0_eval, ml1_eval] lists, claim order."""
+        assert self.n_remaining == 0
+        vals = tower.to_ints(LEVEL, self.stack[:2 * self.n_claims, 0, :])
+        return [[vals[2 * i], vals[2 * i + 1]] for i in range(self.n_claims)]
+
+
 @dataclasses.dataclass
 class BatchSumcheckOutput:
     challenges: list       # sampled challenges, in round order
@@ -326,23 +435,42 @@ class BatchSumcheckOutput:
 def batch_prove(provers: list, transcript) -> BatchSumcheckOutput:
     """Rear-loaded batched sumcheck proving; writes to `transcript`.
 
-    Provers must be sorted descending by n_vars. All provers must share the
-    same evaluation order.
+    Provers must be sorted descending by n_vars and share one evaluation
+    order. A prover may carry several claims (`n_claims` > 1, e.g.
+    `BatchedBivariateSumcheckProver`); it then consumes one batching
+    coefficient per claim and its `compute_round_polys`/`finish` return one
+    entry per claim, making the transcript identical to separate provers.
     """
     assert all(provers[i].n_vars >= provers[i + 1].n_vars for i in range(len(provers) - 1))
     n_rounds = provers[0].n_vars if provers else 0
     batch_coeffs: list[int] = []
+    coeff_start: list[int] = []  # per prover, index of its first batch coeff
     challenges: list[int] = []
     next_idx = 0
+
+    def _activate(idx: int) -> None:
+        coeff_start.append(len(batch_coeffs))
+        for _ in range(getattr(provers[idx], "n_claims", 1)):
+            batch_coeffs.append(transcript.sample_scalar(LEVEL))
+
     for rnd in range(n_rounds):
         remaining = n_rounds - rnd
         while next_idx < len(provers) and provers[next_idx].n_vars == remaining:
-            batch_coeffs.append(transcript.sample_scalar(LEVEL))
+            _activate(next_idx)
             next_idx += 1
         combined: list[int] = []
-        for p, phi in zip(provers[:next_idx], batch_coeffs):
-            for coeffs in p.compute_round_polys():
-                combined = common.add_coeffs(combined, common.scale_coeffs(coeffs, phi))
+        for pi, p in enumerate(provers[:next_idx]):
+            polys = p.compute_round_polys()
+            if getattr(p, "multi_claim", False):
+                n_claims = p.n_claims
+                assert len(polys) == n_claims
+                phis = batch_coeffs[coeff_start[pi]:coeff_start[pi] + n_claims]
+                for coeffs, phi in zip(polys, phis):
+                    combined = common.add_coeffs(combined, common.scale_coeffs(coeffs, phi))
+            else:
+                phi = batch_coeffs[coeff_start[pi]]
+                for coeffs in polys:
+                    combined = common.add_coeffs(combined, common.scale_coeffs(coeffs, phi))
         proof_coeffs = common.truncate(combined)
         transcript.message().write_scalars(LEVEL, proof_coeffs)
         challenge = transcript.sample_scalar(LEVEL)
@@ -351,14 +479,19 @@ def batch_prove(provers: list, transcript) -> BatchSumcheckOutput:
             p.fold(challenge)
     # 0-var claims activate after all rounds
     while next_idx < len(provers) and provers[next_idx].n_vars == 0:
-        batch_coeffs.append(transcript.sample_scalar(LEVEL))
+        _activate(next_idx)
         next_idx += 1
     all_evals = []
     for p in provers:
-        evals = p.finish()
-        send = evals[1:] if p.eq_ind_challenges is not None else evals
-        transcript.message().write_scalars(LEVEL, send)
-        all_evals.append(evals)
+        if getattr(p, "multi_claim", False):
+            for evals in p.finish():
+                transcript.message().write_scalars(LEVEL, evals)
+                all_evals.append(evals)
+        else:
+            evals = p.finish()
+            send = evals[1:] if p.eq_ind_challenges is not None else evals
+            transcript.message().write_scalars(LEVEL, send)
+            all_evals.append(evals)
     return BatchSumcheckOutput(challenges, all_evals)
 
 

@@ -1,0 +1,407 @@
+"""Univariate-skip batched zerocheck (DP24 §5 / Gruen-style skip).
+
+TPU-native counterpart of the reference's three-stage reduction
+(`crates/core/src/protocols/sumcheck/prove/univariate.rs`,
+`prove/batch_zerocheck.rs`, `verify_zerocheck.rs`, `zerocheck.rs`):
+
+  1. **Univariate round**: the first `skip_rounds` (low-indexed) variables of
+     every claim are univariatized over a binary-subspace NTT domain. The
+     honest round polynomial vanishes on the first 2^skip domain points (they
+     map to the hypercube), so only the extension-coset evaluations are sent.
+     Multilinears are extended to the extra cosets with a small-field additive
+     NTT (inverse then forward-at-coset — `univariate.rs` `ntt_extrapolate`),
+     compositions are evaluated in the small field, and the eq-indicator
+     weighting over unskipped variables is applied on accumulation.
+  2. **Eq-ind sumchecks** over the remaining variables, high-to-low, with
+     front-loaded batching that REUSES the univariate-round batching
+     coefficients (`front_loaded.rs` `new_prebatched`) — the verifier only
+     learns the batched claimed sum from the univariate round.
+  3. **Univariatizing reduction**: one `skip_rounds`-variable sumcheck of
+     bivariate products (projected multilinear × Lagrange-coefficient MLE)
+     that converts univariatized evals back to multilinear eval claims
+     (`zerocheck.rs` `univariatizing_reduction_claim`).
+
+TPU-first departures from the reference (self-consistent prover/verifier):
+  * every composition is extended to the GLOBAL max domain directly (more
+    batched NTT cosets instead of staggered evals + OddInterpolate);
+  * round-eval weighting/mixing, Lagrange coefficients (barycentric), claimed
+    sums, folds, and projections are all batched device kernels;
+  * `skip_rounds` is capped at the smallest claim's n_vars, which removes the
+    reference's high-padding path (`prove/zerocheck.rs:77-115`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ...fields import tower
+from ...math import mle
+from ...math.arith import ArithExpr, CompositionPoly
+from ...math.univariate import lagrange_evals_device
+from ...ntt.additive_ntt import AdditiveNTT, NTTDomain
+from . import prove as sc_prove
+from .common import LEVEL, CompositeSumClaim, SumcheckClaim
+from .front_loaded import FrontLoadedBatchProver, FrontLoadedBatchVerifier
+from .zerocheck import ZerocheckClaim, to_sumcheck_claim
+
+DOMAIN_LEVEL = 3  # B8 NTT twiddles: the reference's FDomain (verify.rs:227)
+
+
+def _max_degree(zc: ZerocheckClaim) -> int:
+    return max((c.degree() for c in zc.compositions), default=0)
+
+
+def compute_skip_rounds(zc_claims: list[ZerocheckClaim]) -> int:
+    """Deterministic skip-round count (reference `max_n_vars_and_skip_rounds`,
+    `constraint_system/verify.rs:271`), additionally capped at the smallest
+    claim's n_vars (no high-padding path)."""
+    if not zc_claims:
+        return 0
+    domain_bits = 1 << DOMAIN_LEVEL
+    max_skip = min(
+        domain_bits - max(1, (_max_degree(c) - 1).bit_length() if _max_degree(c) else 1)
+        for c in zc_claims
+    )
+    return max(0, min(max_skip, min(c.n_vars for c in zc_claims)))
+
+
+@dataclasses.dataclass
+class BatchZerocheckOutput:
+    skipped_challenges: list      # skip_rounds challenges (var order, low vars)
+    unskipped_challenges: list    # stage-2 challenges (round order, high-to-low)
+    multilinear_evals: list       # per claim: evals of its multilinears
+    eval_points: list             # per claim: full eval point (var order)
+
+
+def _domain_points(max_domain_size: int) -> tuple:
+    dom_log = max(1, (max_domain_size - 1).bit_length())
+    dom = NTTDomain.create(DOMAIN_LEVEL, dom_log)
+    return tuple(dom.subspace.get(i) for i in range(max_domain_size))
+
+
+def _compact_compositions(zc: ZerocheckClaim):
+    """[(compact_expr, used_vars)] per composition (kernel dedup)."""
+    out = []
+    for comp in zc.compositions:
+        used = sorted(comp.expr.vars_used())
+        remap = {v: i for i, v in enumerate(used)}
+        out.append((comp.expr.remap_vars(remap), tuple(used)))
+    return out
+
+
+def _claim_round_evals(zc: ZerocheckClaim, mls: list, eq_pt: list[int],
+                       skip: int, n_cosets: int, dom_log: int):
+    """Device (n_comps, P, 4) univariate round evals on cosets 1..n_cosets-1
+    of the skip-subspace, P = (n_cosets - 1) << skip."""
+    n = zc.n_vars
+    k = skip
+    levels = [lvl for lvl, _ in mls]
+    const_level = max((c.expr.binary_tower_level() for c in zc.compositions),
+                      default=0)
+    if any(lvl > 5 for lvl in levels) or const_level > 5:
+        data_level = LEVEL
+        datas = [tower.embed(lvl, LEVEL, d) if lvl < LEVEL else d for lvl, d in mls]
+    else:
+        data_level = max([DOMAIN_LEVEL, const_level, *levels])
+        datas = [d for _, d in mls]  # levels <=5 share the uint32 lane layout
+    m = len(datas)
+    m_pad = 1 << max(0, (m - 1).bit_length())
+    if m_pad > m:
+        datas = datas + [jnp.zeros_like(datas[0])] * (m_pad - m)
+    stack = jnp.stack(datas, axis=0)  # (m_pad, 2^n [, limbs])
+    eq = mle.eq_ind_partial_eval(LEVEL, tower.from_ints(LEVEL, eq_pt))  # (2^(n-k), 4)
+
+    compact = tuple(_compact_compositions(zc))
+    suffix = 1 << (n - k)
+    P = (n_cosets - 1) << k
+    # chunk the suffix dim so the extended buffer stays bounded
+    max_chunk = max(1, (1 << 24) // max(1, m_pad * P))
+    chunk = 1 << min(n - k, max(0, max_chunk.bit_length() - 1))
+    acc = None
+    for s0 in range(0, suffix, chunk):
+        if tower.has_limb_dim(data_level):
+            sub = stack[:, s0 << k:(s0 + chunk) << k, :]
+        else:
+            sub = stack[:, s0 << k:(s0 + chunk) << k]
+        part = _uni_chunk_jit(data_level, k, n_cosets, dom_log, compact,
+                              sub, eq[s0:s0 + chunk])
+        acc = part if acc is None else acc ^ part
+    return acc
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _uni_chunk_jit(data_level: int, k: int, n_cosets: int, dom_log: int,
+                   compact: tuple, sub, eq_c):
+    """One suffix chunk of the univariate round: NTT-extend every multilinear
+    slice to cosets 1..n_cosets-1, evaluate compositions in the small field,
+    weight by the eq indicator, XOR-reduce over the chunk.
+
+    sub: (m_pad, chunk << k [, limbs]) at data_level; eq_c: (chunk, 4) B128.
+    Returns (n_comps, P, 4) with P = (n_cosets-1) << k.
+    """
+    m_pad = sub.shape[0]
+    chunk = sub.shape[1] >> k
+    ntt = AdditiveNTT(NTTDomain.create(DOMAIN_LEVEL, dom_log))
+    coset_bits = dom_log - k
+    flat = sub.reshape(tower.elem_shape(data_level, (m_pad * chunk << k,)))
+    log_z = (m_pad * chunk).bit_length() - 1
+    coeffs = ntt.inverse(flat, data_level, (0, k, log_z), 0, coset_bits)
+    cosets = []
+    for c in range(1, n_cosets):
+        ev = ntt.forward(coeffs, data_level, (0, k, log_z), c, coset_bits)
+        cosets.append(ev.reshape(tower.elem_shape(data_level, (m_pad, chunk, 1 << k))))
+    # ext: (m_pad, chunk, P)
+    ext = jnp.concatenate(cosets, axis=-1 - (1 if tower.has_limb_dim(data_level) else 0))
+    out = []
+    for cexpr, used in compact:
+        vals = cexpr.evaluate(data_level, [ext[u] for u in used])  # (chunk, P)
+        vb = tower.embed(data_level, LEVEL, vals)                  # (chunk, P, 4)
+        weighted = tower.mul(LEVEL, vb, eq_c[:, None, :])
+        out.append(tower.xor_reduce(weighted, axis=0))                # (P, 4)
+    return jnp.stack(out, axis=0)
+
+
+def _phi_power_weights(batch_coeffs: list[int], n_comps_per_claim: list[int]) -> list[int]:
+    """Per-composition mixing weights phi_i^(j+1) (matches
+    `batch_weighted_value`, front_loaded.py)."""
+    from ...fields import scalar
+    out = []
+    for phi, n_c in zip(batch_coeffs, n_comps_per_claim):
+        w = phi
+        for _ in range(n_c):
+            out.append(w)
+            w = scalar.mul(LEVEL, w, phi)
+    return out
+
+
+def _run_front_loaded_prove(provers, transcript, coeffs=None):
+    fl = FrontLoadedBatchProver(provers, transcript, coeffs=coeffs)
+    n_rounds = max((p.n_vars for p in provers), default=0)
+    challenges = []
+    for _ in range(n_rounds):
+        fl.send_round_proof(transcript)
+        ch = transcript.sample_scalar(LEVEL)
+        challenges.append(ch)
+        fl.receive_challenge(ch)
+    fl.finish(transcript)
+    return fl, challenges
+
+
+def _run_front_loaded_verify(claims, transcript, coeffs=None, presummed=None,
+                             eq_ind_points=None):
+    fl = FrontLoadedBatchVerifier(claims, transcript, coeffs=coeffs,
+                                  presummed=presummed, eq_ind_points=eq_ind_points)
+    n_rounds = max((c.n_vars for c in claims), default=0)
+    for _ in range(n_rounds):
+        fl.try_finish_claims(transcript)
+        fl.receive_round_proof(transcript)
+        ch = transcript.sample_scalar(LEVEL)
+        fl.challenges.append(ch)
+        fl.finish_round(ch)
+    fl.try_finish_claims(transcript)
+    fl.finish()
+    return fl
+
+
+def _reduction_composites(n_total: int, sums: list[int]):
+    return tuple(
+        CompositeSumClaim(
+            CompositionPoly(ArithExpr.var(i) * ArithExpr.var(n_total), n_total + 1),
+            s)
+        for i, s in enumerate(sums))
+
+
+def batch_prove(zc_claims: list[ZerocheckClaim], mls_per_claim: list,
+                transcript, skip_rounds: int) -> BatchZerocheckOutput:
+    """Claims must be sorted ASCENDING by n_vars; skip_rounds <= min n_vars.
+    Writes the three reduction stages to `transcript`."""
+    assert zc_claims
+    assert all(zc_claims[i].n_vars <= zc_claims[i + 1].n_vars
+               for i in range(len(zc_claims) - 1))
+    k = skip_rounds
+    assert 0 < k <= zc_claims[0].n_vars
+    max_n = zc_claims[-1].n_vars
+    r = transcript.sample_scalars(LEVEL, max_n - k)  # unskipped eq challenges
+    eq_pts = [r[len(r) - (zc.n_vars - k):] if zc.n_vars > k else []
+              for zc in zc_claims]
+
+    # degree-1-only systems still need >= 1 extension coset (the round
+    # message may not be empty; both sides use the same floor)
+    max_d = max(2, *(_max_degree(zc) for zc in zc_claims))
+    max_domain_size = max_d << k
+    points = _domain_points(max_domain_size)
+    dom_log = max(1, (max_domain_size - 1).bit_length())
+
+    # --- stage 1: univariate round ---
+    batch_coeffs = [transcript.sample_scalar(LEVEL) for _ in zc_claims]
+    r_claims = [_claim_round_evals(zc, mls, eq_pts[i], k, max_d, dom_log)
+                for i, (zc, mls) in enumerate(zip(zc_claims, mls_per_claim))]
+    r_all = jnp.concatenate(r_claims, axis=0)  # (total_comps, P, 4)
+    weights = _phi_power_weights(batch_coeffs, [len(zc.compositions) for zc in zc_claims])
+    w_dev = tower.from_ints(LEVEL, weights)
+    mixed = tower.xor_reduce(tower.mul(LEVEL, r_all, w_dev[:, None, :]), axis=0)
+    transcript.message().write_scalars(LEVEL, tower.to_ints(LEVEL, mixed))
+    u_challenge = transcript.sample_scalar(LEVEL)
+
+    lagr = lagrange_evals_device(points, u_challenge)          # (D, 4)
+    tail = lagr[1 << k:]
+    sums_dev = tower.inner_product(LEVEL, r_all, tail[None, :, :], axis=1)
+    claimed_sums = tower.to_ints(LEVEL, sums_dev)              # per composition
+
+    # --- stage 2: eq-ind sumchecks over unskipped variables (high-to-low) ---
+    sub_points = points[:1 << k]
+    lagr_cube = lagrange_evals_device(sub_points, u_challenge)  # (2^k, 4)
+    s2_provers = []
+    ci = 0
+    for zc, mls, eq_pt in zip(zc_claims, mls_per_claim, eq_pts):
+        n_c = len(zc.compositions)
+        sums_i = claimed_sums[ci:ci + n_c]
+        ci += n_c
+        folded = _fold_skipped(mls, zc.n_vars, k, lagr_cube)
+        base = to_sumcheck_claim(zc)
+        claim = SumcheckClaim(zc.n_vars - k, zc.n_multilinears + 1, tuple(
+            CompositeSumClaim(cs.composition, s)
+            for cs, s in zip(base.composite_sums, sums_i)))
+        eq_ml = sc_prove.eq_ind_expansion_multilinear(list(eq_pt))
+        s2_provers.append(sc_prove.RegularSumcheckProver(
+            claim, [eq_ml, *folded], order_high=True,
+            eq_ind_challenges=tuple(eq_pt)))
+    fl2, s2_challenges = _run_front_loaded_prove(s2_provers, transcript,
+                                                 coeffs=batch_coeffs)
+
+    # --- stage 3: univariatizing reduction sumcheck over skipped variables ---
+    proj_mls, red_sums = [], []
+    for i, (zc, mls) in enumerate(zip(zc_claims, mls_per_claim)):
+        n_unskipped = zc.n_vars - k
+        pt = list(reversed(s2_challenges[:n_unskipped]))
+        proj = _project_skipped(mls, zc.n_vars, k, pt)
+        proj_mls.extend(proj)
+        red_sums.extend(fl2.multilinear_evals[i][1:])  # drop eq eval
+    n_total = len(proj_mls)
+    red_claim = SumcheckClaim(k, n_total + 1,
+                              _reduction_composites(n_total, red_sums))
+    red_prover = sc_prove.BivariateSumcheckProver(
+        red_claim, [*proj_mls, (LEVEL, lagr_cube)], order_high=True)
+    fl3, s3_challenges = _run_front_loaded_prove([red_prover], transcript)
+    skipped = list(reversed(s3_challenges))
+    concat_evals = fl3.multilinear_evals[0]
+    assert len(concat_evals) == n_total + 1
+
+    # regroup per claim; eval points are (skipped ++ per-claim unskipped)
+    out_evals, out_points = [], []
+    pos = 0
+    for zc in zc_claims:
+        out_evals.append(concat_evals[pos:pos + zc.n_multilinears])
+        pos += zc.n_multilinears
+        pt = skipped + list(reversed(s2_challenges[:zc.n_vars - k]))
+        out_points.append(pt)
+    return BatchZerocheckOutput(skipped, s2_challenges, out_evals, out_points)
+
+
+def _fold_skipped(mls: list, n: int, k: int, lagr_cube) -> list:
+    """Bind the low k vars of each multilinear with the Lagrange coefficient
+    vector; returns [(LEVEL, data)] of 2^(n-k) entries each."""
+    out = [None] * len(mls)
+    groups: dict = {}
+    for i, (lvl, _) in enumerate(mls):
+        groups.setdefault(lvl, []).append(i)
+    for lvl, idxs in groups.items():
+        stack = jnp.stack([mls[i][1] for i in idxs], axis=0)
+        _, folded = mle.batched_evaluate_partial_low(lvl, stack, n, lagr_cube, k)
+        for j, i in enumerate(idxs):
+            out[i] = (LEVEL, folded[j])
+    return out
+
+
+def _project_skipped(mls: list, n: int, k: int, point: list[int]) -> list:
+    """Bind the high n-k vars of each multilinear at `point` (var order);
+    returns [(LEVEL, data)] of 2^k entries each."""
+    if n == k:
+        return [(LEVEL, tower.embed(lvl, LEVEL, d)) for lvl, d in mls]
+    eq = mle.eq_ind_partial_eval(LEVEL, tower.from_ints(LEVEL, point))
+    out = [None] * len(mls)
+    groups: dict = {}
+    for i, (lvl, _) in enumerate(mls):
+        groups.setdefault(lvl, []).append(i)
+    for lvl, idxs in groups.items():
+        stack = jnp.stack([mls[i][1] for i in idxs], axis=0)
+        _, proj = mle.batched_evaluate_partial_high(lvl, stack, n, eq, k)
+        for j, i in enumerate(idxs):
+            out[i] = (LEVEL, proj[j])
+    return out
+
+
+def batch_verify(zc_claims: list[ZerocheckClaim], transcript,
+                 skip_rounds: int) -> BatchZerocheckOutput:
+    assert zc_claims
+    assert all(zc_claims[i].n_vars <= zc_claims[i + 1].n_vars
+               for i in range(len(zc_claims) - 1))
+    k = skip_rounds
+    max_n = zc_claims[-1].n_vars
+    r = transcript.sample_scalars(LEVEL, max_n - k)
+    eq_pts = [r[len(r) - (zc.n_vars - k):] if zc.n_vars > k else []
+              for zc in zc_claims]
+
+    max_d = max(2, *(_max_degree(zc) for zc in zc_claims))
+    max_domain_size = max_d << k
+    points = _domain_points(max_domain_size)
+
+    batch_coeffs = [transcript.sample_scalar(LEVEL) for _ in zc_claims]
+    n_evals = max_domain_size - (1 << k)
+    round_evals = transcript.message().read_scalars(LEVEL, n_evals)
+    u_challenge = transcript.sample_scalar(LEVEL)
+
+    lagr = lagrange_evals_device(points, u_challenge)
+    ev_dev = tower.from_ints(LEVEL, round_evals)
+    presummed = tower.to_ints(
+        LEVEL, tower.inner_product(LEVEL, ev_dev, lagr[1 << k:], axis=0)[None])[0]
+
+    # --- stage 2 ---
+    s2_claims = []
+    for zc in zc_claims:
+        base = to_sumcheck_claim(zc)
+        s2_claims.append(SumcheckClaim(zc.n_vars - k, zc.n_multilinears + 1,
+                                       base.composite_sums))
+    fl2 = _run_front_loaded_verify(s2_claims, transcript, coeffs=batch_coeffs,
+                                   presummed=presummed,
+                                   eq_ind_points=[list(p) for p in eq_pts])
+    s2_challenges = fl2.challenges
+
+    # --- stage 3 ---
+    red_sums = []
+    for evals in fl2.multilinear_evals:
+        red_sums.extend(evals[1:])
+    n_total = len(red_sums)
+    red_claim = SumcheckClaim(k, n_total + 1,
+                              _reduction_composites(n_total, red_sums))
+    fl3 = _run_front_loaded_verify([red_claim], transcript)
+    skipped = list(reversed(fl3.challenges))
+    concat_evals = list(fl3.multilinear_evals[0])
+
+    # check the Lagrange-MLE eval (last multilinear)
+    sub_points = points[:1 << k]
+    lagr_cube = lagrange_evals_device(sub_points, u_challenge)
+    expected = _mle_eval_dev(lagr_cube, skipped)
+    if concat_evals[-1] != expected:
+        raise ValueError("univariate skip: Lagrange MLE evaluation mismatch")
+    concat_evals = concat_evals[:-1]
+
+    out_evals, out_points = [], []
+    pos = 0
+    for zc in zc_claims:
+        out_evals.append(concat_evals[pos:pos + zc.n_multilinears])
+        pos += zc.n_multilinears
+        pt = skipped + list(reversed(s2_challenges[:zc.n_vars - k]))
+        out_points.append(pt)
+    return BatchZerocheckOutput(skipped, s2_challenges, out_evals, out_points)
+
+
+def _mle_eval_dev(data, point: list[int]) -> int:
+    """Evaluate a B128 device MLE (2^k, 4) at a host point."""
+    eq = mle.eq_ind_partial_eval(LEVEL, tower.from_ints(LEVEL, point))
+    v = tower.inner_product(LEVEL, data, eq, axis=0)
+    return tower.to_ints(LEVEL, v[None, :])[0]

@@ -14,8 +14,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/binius_tpu_jax_cache_tpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+if jax.default_backend() in ("tpu", "axon"):
+    # persistent cache is safe only for TPU executables (see CLAUDE.md)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/binius_tpu_jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 def main():
