@@ -15,7 +15,8 @@ from __future__ import annotations
 import dataclasses
 
 from ...constraint_system import oracle as om
-from ...constraint_system.system import ConstraintSet, ConstraintSystem, Flush, PULL, PUSH
+from ...constraint_system.system import (ConstraintSet, ConstraintSystem, Flush,
+                                         NonZeroClaim, PULL, PUSH)
 from ...math.arith import ArithExpr
 
 
@@ -52,6 +53,19 @@ class TableBuilder:
         self.columns: list[_ColumnDef] = []
         self.zero_constraints: list = []   # (name, log_vpr, expr over cols, cols)
         self.flushes: list = []            # (channel_id, direction, [Col], multiplicity)
+        self.fixed_log_rows: int | None = None
+        self.nonzero_cols: list = []
+
+    def assert_nonzero(self, col: Col) -> None:
+        """Column must be non-zero in every row (`builder/table.rs
+        assert_nonzero`); proven via the grand-product phase."""
+        assert col.log_values_per_row == 0
+        self.nonzero_cols.append(col)
+
+    def require_fixed_size(self, log_rows: int) -> None:
+        """Pin this table to exactly 2^log_rows rows (the reference's
+        `require_fixed_size`, used by indexed lookup tables)."""
+        self.fixed_log_rows = log_rows
 
     # -- columns -----------------------------------------------------------
     def _new_col(self, level, log_vpr, name) -> Col:
@@ -87,6 +101,43 @@ class TableBuilder:
                      log_values_per_row: int = 0) -> Col:
         c = self._new_col(level, log_values_per_row, name)
         self.columns.append(_ColumnDef(c, "constant", constant=value))
+        return c
+
+    def add_static_exp(self, name: str, bit_cols: list, base: int,
+                       base_level: int) -> Col:
+        """Committed column constrained (via the GKR exp phase) to equal
+        base^(bit-composed exponent) of the B1 `bit_cols`, LSB first
+        (`builder/table.rs add_static_exp`). The prover computes its values;
+        do not fill it."""
+        vpr = bit_cols[0].log_values_per_row
+        assert all(c.log_values_per_row == vpr and c.level == 0 for c in bit_cols)
+        assert len(bit_cols) <= 1 << base_level
+        c = self._new_col(base_level, vpr, name)
+        self.columns.append(_ColumnDef(c, "static_exp", expr_cols=tuple(bit_cols),
+                                       constant=base))
+        return c
+
+    def add_dynamic_exp(self, name: str, bit_cols: list, base: Col) -> Col:
+        """Committed column equal to base_col^(bit-composed exponent)
+        (`builder/table.rs add_dynamic_exp`); result level = base level."""
+        vpr = bit_cols[0].log_values_per_row
+        assert all(c.log_values_per_row == vpr and c.level == 0 for c in bit_cols)
+        assert base.log_values_per_row == vpr
+        assert len(bit_cols) <= 1 << base.level
+        c = self._new_col(base.level, vpr, name)
+        self.columns.append(_ColumnDef(c, "dynamic_exp", inner=base,
+                                       expr_cols=tuple(bit_cols)))
+        return c
+
+    def add_structured(self, name: str, level: int, expr: ArithExpr) -> Col:
+        """MLE-structured column: value at row r is `expr` evaluated on the
+        bits of r (var i = bit i, LSB first); `expr` must be multilinear.
+        Covers both the reference's `add_structured` (StructuredDynSize) and
+        its circuit-valued `add_fixed` (`builder/table.rs`,
+        `builder/structured.rs`) — vars beyond the compiled log_rows are
+        bound to zero."""
+        c = self._new_col(level, 0, name)
+        self.columns.append(_ColumnDef(c, "structured", inner=expr))
         return c
 
     def add_fixed(self, name: str, level: int, pattern: list,
@@ -145,10 +196,15 @@ class M3ConstraintSystem:
         """Lower to the core system. Returns (ConstraintSystem, oracle_map)
         where oracle_map[(table_id, col_index)] = oracle id."""
         assert len(table_log_rows) == len(self.tables)
+        for t, lr in zip(self.tables, table_log_rows):
+            assert t.fixed_log_rows is None or t.fixed_log_rows == lr, \
+                f"table {t.name} requires exactly 2^{t.fixed_log_rows} rows"
         oracles = om.OracleSet()
         oracle_map: dict = {}
         constraint_sets = []
         flushes = []
+        exponents = []
+        non_zero_claims = []
         for t, log_rows in zip(self.tables, table_log_rows):
             for cd in t.columns:
                 col = cd.col
@@ -182,6 +238,23 @@ class M3ConstraintSystem:
                     tp = MLEFromValues(cd.inner, col.level)
                     tid = oracles.add_transparent(tp, nm + ".pattern")
                     oracle_map[key] = oracles.add_repeating(tid, log_rows, nm)
+                elif cd.kind == "structured":
+                    from ...protocols.transparent import StructuredArith
+                    expr = _bind_high_vars_zero(cd.inner, n_vars)
+                    tp = StructuredArith(expr, n_vars, col.level)
+                    oracle_map[key] = oracles.add_transparent(tp, nm)
+                elif cd.kind in ("static_exp", "dynamic_exp"):
+                    from ...constraint_system.exp import Exp
+                    oracle_map[key] = oracles.add_committed(n_vars, col.level, nm)
+                    bits_ids = tuple(oracle_map[(t.table_id, b.index)]
+                                     for b in cd.expr_cols)
+                    if cd.kind == "static_exp":
+                        exponents.append(Exp(bits_ids, oracle_map[key], col.level,
+                                             base_const=cd.constant))
+                    else:
+                        exponents.append(Exp(
+                            bits_ids, oracle_map[key], col.level,
+                            base_oracle=oracle_map[(t.table_id, cd.inner.index)]))
             # group zero constraints by (values-per-row, group) partition
             by_vpr: dict = {}
             for name, vpr, expr, cols, group in t.zero_constraints:
@@ -207,8 +280,26 @@ class M3ConstraintSystem:
                 flushes.append(Flush(channel_id, direction,
                                      tuple(oracle_map[(t.table_id, c.index)] for c in cols),
                                      mult, sel_id))
+            for c in t.nonzero_cols:
+                non_zero_claims.append(NonZeroClaim(oracle_map[(t.table_id, c.index)]))
         return ConstraintSystem(oracles, constraint_sets, flushes,
-                                self.n_channels), oracle_map
+                                self.n_channels, non_zero_claims,
+                                exponents=exponents), oracle_map
+
+
+def _bind_high_vars_zero(expr: ArithExpr, n_vars: int) -> ArithExpr:
+    """Replace var(i >= n_vars) with const 0 (structured columns are defined
+    against a max size; smaller tables zero the absent index bits)."""
+    if expr.op == "var":
+        return ArithExpr.const(0) if expr.value >= n_vars else expr
+    if expr.op == "const":
+        return expr
+    args = tuple(_bind_high_vars_zero(a, n_vars) for a in expr.args)
+    if expr.op == "add":
+        return args[0] + args[1]
+    if expr.op == "mul":
+        return args[0] * args[1]
+    return ArithExpr("pow", args, expr.value)
 
 
 def _linearize(expr: ArithExpr, n_vars: int):

@@ -75,6 +75,10 @@ class WitnessIndex:
                 vals = tw.columns.get(cd.col.index)
                 assert vals is not None, f"column {cd.col.name} not filled"
                 witness[oid] = (cd.col.level, tower.from_ints(cd.col.level, vals))
+        # prover-computed exp result columns (`constraint_system/exp.py`)
+        if core_system.exponents:
+            from ...constraint_system import exp as exp_mod
+            exp_mod.make_exp_witnesses(core_system, witness)
         # materialize every reachable virtual oracle used by constraints/flushes
         for key, oid in oracle_map.items():
             core_witness.materialize(core_system.oracles, witness, oid)

@@ -80,3 +80,103 @@ class U32Mul:
         for i, g in enumerate(self.adders):
             acc = g.populate(tw, acc, partial_vals[i + 1])
         return acc
+
+
+def _pack_bits_expr(n: int):
+    """sum_i var(i) * beta_i: packs n B1 basis bits into a tower element
+    (the reference's `pack_fp`, `gadgets/util.rs`)."""
+    e = None
+    for i in range(n):
+        term = V(i) * ArithExpr.const(1 << i, 7)
+        e = term if e is None else e + term
+    return e
+
+
+@dataclasses.dataclass
+class MulUU32:
+    """Full 64-bit u32 multiplication via the GKR exponentiation phase
+    (`crates/m3/src/gadgets/mul.rs:96-175`, MulUU32 = Mul<u32, 32>).
+
+    Soundness argument (the reference's): with g a multiplicative generator
+    of B64 (order 2^64 - 1) and x, y < 2^32,
+
+        (g^x)^y = g^(out_low) * (g^(2^32))^(out_high)
+
+    forces x*y = out_high*2^32 + out_low over the integers, up to a single
+    possible wrap by ord(g) = 2^64 - 1 — which the parity constraint
+    x_0 * y_0 = out_low_0 eliminates (2^64 - 1 is odd).
+
+    Columns: 32 one-bit-per-row B1 columns per operand and per output half
+    (the exp circuits consume individual bit oracles), plus B64 exp result
+    columns that the PROVER fills during the exp phase — callers never
+    populate them.
+    """
+
+    x_bits: list
+    y_bits: list
+    out_low_bits: list
+    out_high_bits: list
+    g_pow_x: Col
+    g_pow_xy: Col
+    g_pow_out_low: Col
+    g_pow_out_high: Col
+    xin: Col
+    yin: Col
+    out_low: Col
+    out_high: Col
+
+    @staticmethod
+    def build(t: TableBuilder, name: str = "mul",
+              x_bits: list = None, y_bits: list = None) -> "MulUU32":
+        from ...fields import scalar
+
+        if x_bits is None:
+            x_bits = [t.add_committed(f"{name}.x{i}", 0, 0) for i in range(32)]
+        if y_bits is None:
+            y_bits = [t.add_committed(f"{name}.y{i}", 0, 0) for i in range(32)]
+        g = scalar.GENERATORS[6]
+        g_shift = scalar.pow(6, g, 1 << 32)
+
+        g_pow_x = t.add_static_exp(f"{name}.g^x", x_bits, g, 6)
+        g_pow_xy = t.add_dynamic_exp(f"{name}.(g^x)^y", y_bits, g_pow_x)
+
+        out_low_bits = [t.add_committed(f"{name}.lo{i}", 0, 0) for i in range(32)]
+        out_high_bits = [t.add_committed(f"{name}.hi{i}", 0, 0) for i in range(32)]
+
+        g_pow_out_low = t.add_static_exp(f"{name}.g^lo", out_low_bits, g, 6)
+        g_pow_out_high = t.add_static_exp(f"{name}.(g^2^32)^hi", out_high_bits,
+                                          g_shift, 6)
+
+        # `mul.rs:161`: bit-0 parity pins down the possible ord(g) wrap.
+        t.assert_zero(f"{name}.order_non_wrapping",
+                      [x_bits[0], y_bits[0], out_low_bits[0]],
+                      V(0) * V(1) + V(2), group=f"{name}.parity")
+        # `mul.rs:162`
+        t.assert_zero(f"{name}.exponentiation_equality",
+                      [g_pow_xy, g_pow_out_low, g_pow_out_high],
+                      V(0) + V(1) * V(2), group=f"{name}.expeq")
+
+        xin = t.add_computed(f"{name}.xin", _pack_bits_expr(32), x_bits)
+        yin = t.add_computed(f"{name}.yin", _pack_bits_expr(32), y_bits)
+        out_low = t.add_computed(f"{name}.out_low", _pack_bits_expr(32),
+                                 out_low_bits)
+        out_high = t.add_computed(f"{name}.out_high", _pack_bits_expr(32),
+                                  out_high_bits)
+        return MulUU32(x_bits, y_bits, out_low_bits, out_high_bits,
+                       g_pow_x, g_pow_xy, g_pow_out_low, g_pow_out_high,
+                       xin, yin, out_low, out_high)
+
+    def populate(self, tw, x_rows: list, y_rows: list) -> tuple:
+        """Fill the bit columns; returns (out_high_rows, out_low_rows).
+        Exp result columns are computed by the prover (`exp.rs:231`)."""
+        lo_rows, hi_rows = [], []
+        for x, y in zip(x_rows, y_rows):
+            p = int(x) * int(y)
+            lo_rows.append(p & M32)
+            hi_rows.append((p >> 32) & M32)
+        for i in range(32):
+            tw.set_column(self.x_bits[i], [(int(x) >> i) & 1 for x in x_rows])
+            tw.set_column(self.y_bits[i], [(int(y) >> i) & 1 for y in y_rows])
+            tw.set_column(self.out_low_bits[i], [(v >> i) & 1 for v in lo_rows])
+            tw.set_column(self.out_high_bits[i], [(v >> i) & 1 for v in hi_rows])
+        return hi_rows, lo_rows

@@ -121,6 +121,85 @@ class MLEFromValues:
 
 
 @dataclasses.dataclass(frozen=True)
+class StructuredArith:
+    """MLE-structured column: values are a multilinear arithmetic expression
+    of the hypercube index bits (var i = bit i of the index, LSB first).
+
+    TPU-native form of the reference's `MultilinearPolyVariant::Structured`
+    (`oracle/multilinear.rs:706`, `m3/src/builder/structured.rs`): because the
+    expression is multilinear, its evaluation at an arbitrary point IS the MLE
+    evaluation, so the verifier evaluates it succinctly while the prover
+    materializes it with one device kernel over the index bits.
+    """
+
+    expr: object  # ArithExpr over n_vars index-bit variables, multilinear
+    n_vars: int
+    level: int = 7
+
+    def __post_init__(self):
+        assert _is_multilinear(self.expr), \
+            "structured column expression must be multilinear in the index bits"
+
+    def evaluate_scalar(self, q: list[int]) -> int:
+        return self.expr.evaluate_scalar(LEVEL, list(q))
+
+    def mle(self):
+        import jax.numpy as jnp
+
+        n = self.n_vars
+        iota = jnp.arange(1 << n, dtype=jnp.uint32)
+        bits = [tower.embed(0, LEVEL, (iota >> i) & 1) for i in range(n)]
+        vals = self.expr.evaluate(LEVEL, bits)
+        if self.level < LEVEL:
+            coords = tower.split_to_subfield(LEVEL, self.level, vals)
+            return self.level, coords[..., 0]
+        return LEVEL, vals
+
+
+def _is_multilinear(expr) -> bool:
+    """Degree <= 1 in every individual variable (products of distinct vars
+    are fine)."""
+    from ..math.arith import ArithExpr
+
+    def rec(e) -> dict:
+        # returns max per-var degree map
+        if e.op == "const":
+            return {}
+        if e.op == "var":
+            return {e.value: 1}
+        if e.op == "pow":
+            inner = rec(e.args[0])
+            return {k: v * e.value for k, v in inner.items()}
+        l, r = rec(e.args[0]), rec(e.args[1])
+        out = dict(l)
+        if e.op == "add":
+            for k, v in r.items():
+                out[k] = max(out.get(k, 0), v)
+        else:  # mul
+            for k, v in r.items():
+                out[k] = out.get(k, 0) + v
+        return out
+
+    try:
+        degs = rec(expr)
+    except AttributeError:
+        return True
+    return all(v <= 1 for v in degs.values())
+
+
+def incrementing_expr(max_size_log: int):
+    """sum_i X_i * beta_i: the Incrementing structured column
+    (`builder/structured.rs:73-81`)."""
+    from ..math.arith import ArithExpr
+
+    e = None
+    for i in range(max_size_log):
+        term = ArithExpr.var(i) * ArithExpr.const(1 << i, 7)
+        e = term if e is None else e + term
+    return e
+
+
+@dataclasses.dataclass(frozen=True)
 class Powers:
     """X -> prod_i base^(2^i * x_i): evals are base^0, base^1, ... base^(2^n-1)
     (`transparent/powers.rs`)."""

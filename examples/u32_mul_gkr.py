@@ -1,0 +1,72 @@
+"""u32 multiplication via GKR exponentiation (counterpart of
+`examples/u32_mul_gkr.rs`): full 64-bit products through the constraint
+system's exp phase rather than schoolbook partial products.
+
+Usage:
+    python examples/u32_mul_gkr.py --log-n-muls 8 --log-inv-rate 1
+"""
+
+import argparse
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+
+if jax.default_backend() in ("tpu", "axon"):
+    # persistent cache is safe only for TPU executables (see CLAUDE.md)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/binius_tpu_jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--log-n-muls", type=int, default=5)
+    ap.add_argument("--log-inv-rate", type=int, default=1)
+    args = ap.parse_args()
+
+    from binius_tpu.constraint_system import prove as csp
+    from binius_tpu.constraint_system.system import validate_witness
+    from binius_tpu.m3.builder.table import M3ConstraintSystem
+    from binius_tpu.m3.builder.witness import WitnessIndex
+    from binius_tpu.m3.gadgets.mul import MulUU32
+
+    random.seed(0)
+    n = 1 << args.log_n_muls
+    print(f"u32_mul_gkr: proving {n} u32 multiplications on {jax.devices()[0]}")
+
+    m3 = M3ConstraintSystem()
+    t = m3.add_table("mul")
+    g = MulUU32.build(t, "mul")
+    core, omap = m3.compile([args.log_n_muls])
+
+    t0 = time.perf_counter()
+    wi = WitnessIndex(m3, [args.log_n_muls])
+    tw = wi.table(0)
+    xs = [random.getrandbits(32) for _ in range(n)]
+    ys = [random.getrandbits(32) for _ in range(n)]
+    his, los = g.populate(tw, xs, ys)
+    assert all((x * y) == (hi << 32 | lo)
+               for x, y, hi, lo in zip(xs, ys, his, los))
+    witness = wi.to_core_witness(core, omap)
+    t1 = time.perf_counter()
+    print(f"trace-gen-time: {(t1 - t0) * 1e3:.1f} ms")
+
+    validate_witness(core, witness)
+    t2 = time.perf_counter()
+    proof = csp.prove(core, witness, log_inv_rate=args.log_inv_rate)
+    t3 = time.perf_counter()
+    print(f"prove-time: {(t3 - t2) * 1e3:.1f} ms")
+    for k, v in csp.last_phase_times.items():
+        print(f"  prove.{k}: {v * 1e3:.1f} ms")
+    print(f"proof-size: {len(proof)} bytes")
+    csp.verify(core, proof, log_inv_rate=args.log_inv_rate)
+    t4 = time.perf_counter()
+    print(f"verify-time: {(t4 - t3) * 1e3:.1f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -33,6 +33,48 @@ def test_u32_mul():
     validate_system_witness(core, witness)
 
 
+def test_mul_uu32_exp():
+    """MulUU32 via the GKR exponentiation phase (`mul.rs:96-175`)."""
+    from binius_tpu.m3.gadgets.mul import MulUU32
+
+    log_rows = 2
+    m3 = M3ConstraintSystem()
+    t = m3.add_table("mul_exp")
+    g = MulUU32.build(t, "mul")
+    core, omap = m3.compile([log_rows])
+    assert len(core.exponents) == 4
+    wi = WitnessIndex(m3, [log_rows])
+    tw = wi.table(0)
+    xs = [random.getrandbits(32) for _ in range(1 << log_rows)]
+    ys = [random.getrandbits(32) for _ in range(1 << log_rows)]
+    his, los = g.populate(tw, xs, ys)
+    assert all(((x * y) >> 32, (x * y) & 0xFFFFFFFF) == (hi, lo)
+               for x, y, hi, lo in zip(xs, ys, his, los))
+    witness = wi.to_core_witness(core, omap)
+    validate_system_witness(core, witness)
+
+
+def test_mul_uu32_exp_wrong_output_rejected():
+    """A lied-about output bit must violate the exp-equality constraint."""
+    from binius_tpu.m3.gadgets.mul import MulUU32
+
+    m3 = M3ConstraintSystem()
+    t = m3.add_table("mul_exp")
+    g = MulUU32.build(t, "mul")
+    core, omap = m3.compile([1])
+    wi = WitnessIndex(m3, [1])
+    tw = wi.table(0)
+    xs, ys = [0xDEADBEEF, 3], [0x12345678, 5]
+    g.populate(tw, xs, ys)
+    # flip bit 7 of out_low in row 1
+    vals = tw.get_column(g.out_low_bits[7])
+    vals[1] ^= 1
+    tw.set_column(g.out_low_bits[7], vals)
+    witness = wi.to_core_witness(core, omap)
+    with pytest.raises(ValueError):
+        validate_witness(core, witness)
+
+
 def test_u32_mul_bad_bit_rejected():
     m3 = M3ConstraintSystem()
     t = m3.add_table("mul")
