@@ -172,15 +172,19 @@ def _make_flush_oracles(system: ConstraintSystem, alpha: int, beta: int):
             assert system.oracles[oid].n_vars == n_vars
             terms.append((oid, coeff))
             coeff = scalar.mul(LEVEL, coeff, beta)
-        if f.selector_id is None:
+        if not f.selector_ids:
             oid = system.oracles.add_linear_combination(n_vars, terms, alpha,
                                                         f"flush_{len(out)}")
         else:
-            inner_ids = [f.selector_id, *f.oracle_ids]
+            ns = len(f.selector_ids)
+            inner_ids = [*f.selector_ids, *f.oracle_ids]
             mix = ArithExpr.const(alpha ^ 1, 7)
             for i, (_, c) in enumerate(terms):
-                mix = mix + ArithExpr.const(c, 7) * ArithExpr.var(i + 1)
-            expr = ArithExpr.const(1) + ArithExpr.var(0) * mix
+                mix = mix + ArithExpr.const(c, 7) * ArithExpr.var(i + ns)
+            sel = ArithExpr.var(0)
+            for s in range(1, ns):
+                sel = sel * ArithExpr.var(s)
+            expr = ArithExpr.const(1) + sel * mix
             oid = system.oracles.add_composite(n_vars, inner_ids, expr,
                                                f"flush_{len(out)}")
         out.append((f, oid))
@@ -222,13 +226,22 @@ def _gpa_instances(system: ConstraintSystem, flush_oracles):
 
 
 def prove(system: ConstraintSystem, witness: dict, boundaries: list = (),
-          log_inv_rate: int = 1) -> bytes:
+          log_inv_rate: int = 1, table_sizes: list = None) -> bytes:
     """witness: oracle id -> (level, device data) for committed and virtual
-    oracles (prover materializes virtual columns during witness generation)."""
+    oracles (prover materializes virtual columns during witness generation).
+
+    table_sizes: optional per-table row counts, written to the transcript as
+    the proof's first message (`prove.rs:177`); the M3 verifier reads them
+    back to instantiate step-down masks (`m3/builder/statement.py`)."""
     timer = _PhaseTimer("prove")
     transcript = ProverTranscript()
     transcript.observe().write_bytes(system.digest())
     _observe_boundaries(transcript, boundaries)
+    if table_sizes is not None:
+        w = transcript.message()
+        w.write_u64(len(table_sizes))
+        for s in table_sizes:
+            w.write_u64(s)
     # Work on copies: flush oracles are instantiated during proving.
     system = ConstraintSystem(system.oracles.clone(), system.constraint_sets,
                               system.flushes, system.n_channels,
@@ -340,11 +353,25 @@ def _ring_switch_claims(system, layout, committed_claims):
     return [k[2] for k in keyed]
 
 
+def peek_table_sizes(proof: bytes) -> list[int]:
+    """Read the table-size prefix of a proof produced with table_sizes
+    (the message tape starts with them; sampling state is irrelevant)."""
+    t = VerifierTranscript(proof)
+    r = t.message()
+    return [r.read_u64() for _ in range(r.read_u64())]
+
+
 def verify(system: ConstraintSystem, proof: bytes, boundaries: list = (),
-           log_inv_rate: int = 1) -> None:
+           log_inv_rate: int = 1, table_sizes: list = None) -> None:
     transcript = VerifierTranscript(proof)
     transcript.observe().write_bytes(system.digest())
     _observe_boundaries(transcript, boundaries)
+    if table_sizes is not None:
+        r = transcript.message()
+        n = r.read_u64()
+        got = [r.read_u64() for _ in range(n)]
+        if got != list(table_sizes):
+            raise ValueError("table sizes in proof do not match the instance")
     system = ConstraintSystem(system.oracles.clone(), system.constraint_sets,
                               system.flushes, system.n_channels,
                               system.non_zero_claims, system.exponents)

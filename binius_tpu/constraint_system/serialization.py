@@ -146,6 +146,13 @@ def _w_transparent(b, t) -> None:
         _w_u32(b, len(t.values))
         for v in t.values:
             _w_u128(b, v)
+    elif isinstance(t, tp.StructuredArith):
+        _w_str(b, "structured")
+        _w_u32(b, t.n_vars)
+        _w_u32(b, t.level)
+        raw = _serialize_expr(t.expr)
+        _w_u32(b, len(raw))
+        b.write(raw)
     else:
         raise ValueError(f"unregistered transparent {type(t)}")
 
@@ -168,12 +175,15 @@ def _r_transparent(r):
         lvl = _r_u32(r)
         n = _r_u32(r)
         return tp.MLEFromValues(tuple(_r_u128(r) for _ in range(n)), lvl)
+    if kind == "structured":
+        n, lvl = _r_u32(r), _r_u32(r)
+        return tp.StructuredArith(_deserialize_expr(r.read(_r_u32(r))), n, lvl)
     raise ValueError(kind)
 
 
 # -- system ------------------------------------------------------------------
 
-MAGIC = b"BTPUCS01"
+MAGIC = b"BTPUCS02"
 
 
 def serialize(system: ConstraintSystem) -> bytes:
@@ -221,7 +231,9 @@ def serialize(system: ConstraintSystem) -> bytes:
         for i in f.oracle_ids:
             _w_u32(b, i)
         _w_u32(b, f.multiplicity)
-        _w_i32(b, f.selector_id)
+        _w_u32(b, len(f.selector_ids))
+        for s in f.selector_ids:
+            _w_u32(b, s)
     _w_u32(b, system.n_channels)
     _w_u32(b, len(system.non_zero_claims))
     for nz in system.non_zero_claims:
@@ -280,7 +292,7 @@ def deserialize(data: bytes) -> ConstraintSystem:
         d = _r_str(r)
         ids = tuple(_r_u32(r) for _ in range(_r_u32(r)))
         mult = _r_u32(r)
-        sel = _r_i32(r)
+        sel = tuple(_r_u32(r) for _ in range(_r_u32(r)))
         flushes.append(Flush(ch, d, ids, mult, sel))
     n_channels = _r_u32(r)
     nz = [NonZeroClaim(_r_u32(r)) for _ in range(_r_u32(r))]

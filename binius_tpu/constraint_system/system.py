@@ -44,7 +44,7 @@ class Flush:
     direction: str  # PUSH | PULL
     oracle_ids: tuple
     multiplicity: int = 1
-    selector_id: int = None
+    selector_ids: tuple = ()  # 0/1 oracles; a row participates iff ALL are 1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -84,7 +84,7 @@ class ConstraintSystem:
                          tuple(c.serialize_tokens() for c in cs.zero_constraints)))
         for f in self.flushes:
             toks.append((f.channel_id, f.direction, f.oracle_ids, f.multiplicity,
-                         f.selector_id))
+                         f.selector_ids))
         toks.append(("channels", self.n_channels))
         for nz in self.non_zero_claims:
             toks.append(("nonzero", nz.oracle_id))
@@ -155,14 +155,17 @@ def _validate_channels(system: ConstraintSystem, witness: dict, boundaries) -> N
     def account(channel, direction, tup, mult):
         counters[channel][tup] += mult if direction == PUSH else -mult
 
+    from . import witness as witness_mod
     for f in system.flushes:
+        for oid in (*f.oracle_ids, *f.selector_ids):
+            witness_mod.materialize(system.oracles, witness, oid)
         cols = [tower.to_ints(witness[oid][0], witness[oid][1])
                 for oid in f.oracle_ids]
-        sel = (tower.to_ints(witness[f.selector_id][0], witness[f.selector_id][1])
-               if f.selector_id is not None else None)
+        sels = [tower.to_ints(witness[sid][0], witness[sid][1])
+                for sid in f.selector_ids]
         n = len(cols[0])
         for r in range(n):
-            if sel is not None and sel[r] == 0:
+            if any(s[r] == 0 for s in sels):
                 continue
             account(f.channel_id, f.direction, tuple(c[r] for c in cols), f.multiplicity)
     for b in boundaries:

@@ -54,6 +54,7 @@ class TableBuilder:
         self.zero_constraints: list = []   # (name, log_vpr, expr over cols, cols)
         self.flushes: list = []            # (channel_id, direction, [Col], multiplicity)
         self.fixed_log_rows: int | None = None
+        self.size_spec: str = "arbitrary"  # TableSizeSpec (`mod.rs:115-122`)
         self.nonzero_cols: list = []
 
     def assert_nonzero(self, col: Col) -> None:
@@ -62,10 +63,14 @@ class TableBuilder:
         assert col.log_values_per_row == 0
         self.nonzero_cols.append(col)
 
+    def require_power_of_two_size(self) -> None:
+        self.size_spec = "po2"
+
     def require_fixed_size(self, log_rows: int) -> None:
         """Pin this table to exactly 2^log_rows rows (the reference's
         `require_fixed_size`, used by indexed lookup tables)."""
         self.fixed_log_rows = log_rows
+        self.size_spec = "fixed"
 
     # -- columns -----------------------------------------------------------
     def _new_col(self, level, log_vpr, name) -> Col:
@@ -193,19 +198,42 @@ class M3ConstraintSystem:
         return c
 
     def compile(self, table_log_rows: list[int]):
-        """Lower to the core system. Returns (ConstraintSystem, oracle_map)
-        where oracle_map[(table_id, col_index)] = oracle id."""
-        assert len(table_log_rows) == len(self.tables)
-        for t, lr in zip(self.tables, table_log_rows):
-            assert t.fixed_log_rows is None or t.fixed_log_rows == lr, \
-                f"table {t.name} requires exactly 2^{t.fixed_log_rows} rows"
+        """Lower with power-of-two row counts (sugar for `compile_sizes`)."""
+        return self.compile_sizes([1 << lr for lr in table_log_rows])
+
+    def compile_sizes(self, table_sizes: list[int]):
+        """Lower to the core system with ARBITRARY table sizes. Returns
+        (ConstraintSystem, oracle_map) where oracle_map[(table_id,
+        col_index)] = oracle id.
+
+        Oracles are sized to the power-of-two capacity; tables whose size is
+        below capacity get a StepDown selector appended to every flush so
+        padding rows stay out of the channel balance
+        (`constraint_system/verify.rs:390-430` augment_flush_po2_step_down).
+        Zero constraints hold over the full capacity — gadget witnesses pad
+        with zero rows, which every shipped gadget satisfies.
+        """
+        assert len(table_sizes) == len(self.tables)
+        table_log_rows = []
+        for t, size in zip(self.tables, table_sizes):
+            assert size >= 1
+            log_cap = (size - 1).bit_length()
+            if t.size_spec == "fixed":
+                assert size == 1 << t.fixed_log_rows, \
+                    f"table {t.name} requires exactly 2^{t.fixed_log_rows} rows"
+            elif t.size_spec == "po2":
+                assert size == 1 << log_cap, \
+                    f"table {t.name} requires a power-of-two size"
+            assert size == 1 << log_cap or not t.nonzero_cols, \
+                "non-zero claims need a power-of-two table (padding rows are 0)"
+            table_log_rows.append(log_cap)
         oracles = om.OracleSet()
         oracle_map: dict = {}
         constraint_sets = []
         flushes = []
         exponents = []
         non_zero_claims = []
-        for t, log_rows in zip(self.tables, table_log_rows):
+        for t, log_rows, size in zip(self.tables, table_log_rows, table_sizes):
             for cd in t.columns:
                 col = cd.col
                 n_vars = log_rows + col.log_values_per_row
@@ -274,12 +302,19 @@ class M3ConstraintSystem:
                     log_rows + vpr,
                     tuple(oracle_map[(t.table_id, c.index)] for c in col_list),
                     tuple(exprs)))
+            step_down_id = None
+            if size < (1 << log_rows) and t.flushes:
+                from ...protocols.transparent import StepDown
+                step_down_id = oracles.add_transparent(
+                    StepDown(log_rows, size), f"{t.name}.stepdown")
             for channel_id, direction, cols, mult, selector in t.flushes:
-                sel_id = (oracle_map[(t.table_id, selector.index)]
-                          if selector is not None else None)
+                sel_ids = ((oracle_map[(t.table_id, selector.index)],)
+                           if selector is not None else ())
+                if step_down_id is not None:
+                    sel_ids = sel_ids + (step_down_id,)
                 flushes.append(Flush(channel_id, direction,
                                      tuple(oracle_map[(t.table_id, c.index)] for c in cols),
-                                     mult, sel_id))
+                                     mult, sel_ids))
             for c in t.nonzero_cols:
                 non_zero_claims.append(NonZeroClaim(oracle_map[(t.table_id, c.index)]))
         return ConstraintSystem(oracles, constraint_sets, flushes,

@@ -13,19 +13,24 @@ from ...fields import tower
 
 
 class TableWitness:
-    def __init__(self, table, log_rows: int):
+    def __init__(self, table, log_rows: int, size: int = None):
         self.table = table
-        self.log_rows = log_rows
-        self.columns: dict = {}  # col index -> list[int] of length rows << vpr
+        self.log_rows = log_rows  # log2 of the power-of-two CAPACITY
+        self.size = (1 << log_rows) if size is None else size
+        self.columns: dict = {}  # col index -> list[int] of length capacity << vpr
 
     @property
     def n_rows(self) -> int:
         return 1 << self.log_rows
 
     def set_column(self, col, values: list) -> None:
-        expect = self.n_rows << col.log_values_per_row
+        """Accepts `size` rows of values; pads to capacity with zeros
+        (arbitrary-size tables; flushes are masked by the step-down)."""
+        vpr = col.log_values_per_row
+        expect = self.size << vpr
         assert len(values) == expect, (len(values), expect)
-        self.columns[col.index] = [int(v) for v in values]
+        pad = (self.n_rows << vpr) - expect
+        self.columns[col.index] = [int(v) for v in values] + [0] * pad
 
     def set_packed_ints(self, col, row_values: list) -> None:
         """For a B1 column with 2^v values per row: one integer per row,
@@ -57,8 +62,22 @@ class WitnessIndex:
     def __init__(self, m3_system, table_log_rows: list):
         self.system = m3_system
         self.table_log_rows = list(table_log_rows)
+        self.table_sizes = [1 << lr for lr in table_log_rows]
         self.tables = [TableWitness(t, lr)
                        for t, lr in zip(m3_system.tables, table_log_rows)]
+
+    @classmethod
+    def with_sizes(cls, m3_system, table_sizes: list) -> "WitnessIndex":
+        """Arbitrary row counts; columns fill `size` rows and pad to the
+        power-of-two capacity with zeros."""
+        self = cls.__new__(cls)
+        self.system = m3_system
+        self.table_sizes = [int(s) for s in table_sizes]
+        self.table_log_rows = [(s - 1).bit_length() for s in self.table_sizes]
+        self.tables = [TableWitness(t, lr, s)
+                       for t, lr, s in zip(m3_system.tables, self.table_log_rows,
+                                           self.table_sizes)]
+        return self
 
     def table(self, table_id: int) -> TableWitness:
         return self.tables[table_id]

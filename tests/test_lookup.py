@@ -38,8 +38,8 @@ def test_selector_flush_prove_verify():
     selb_id = oracles.add_committed(n, 5, "sel_b")
     system = ConstraintSystem(
         oracles, [],
-        flushes=[Flush(0, PUSH, (a_id,), selector_id=sel_id),
-                 Flush(0, PULL, (b_id,), selector_id=selb_id)],
+        flushes=[Flush(0, PUSH, (a_id,), selector_ids=(sel_id,)),
+                 Flush(0, PULL, (b_id,), selector_ids=(selb_id,))],
         n_channels=1)
     witness = {a_id: (5, tower.from_ints(5, a_vals)),
                sel_id: (5, tower.from_ints(5, sel)),
@@ -82,8 +82,8 @@ def test_lookup_via_multiplicity_flushes():
     system = ConstraintSystem(
         oracles, [],
         flushes=[
-            Flush(0, PUSH, (idx_id, val_id), multiplicity=1, selector_id=m0_id),
-            Flush(0, PUSH, (idx_id, val_id), multiplicity=2, selector_id=m1_id),
+            Flush(0, PUSH, (idx_id, val_id), multiplicity=1, selector_ids=(m0_id,)),
+            Flush(0, PUSH, (idx_id, val_id), multiplicity=2, selector_ids=(m1_id,)),
             Flush(0, PULL, (rid_id, rval_id)),
         ],
         n_channels=1)

@@ -40,7 +40,7 @@ def test_roundtrip_with_flushes_and_transparents():
     system = ConstraintSystem(
         oracles,
         [ConstraintSet(4, (a, s), (ArithExpr.var(0) * ArithExpr.var(1),))],
-        flushes=[Flush(0, PUSH, (a,), 2, s), Flush(0, PULL, (a,))],
+        flushes=[Flush(0, PUSH, (a,), 2, (s,)), Flush(0, PULL, (a,))],
         n_channels=1)
     raw = ser.serialize(system)
     system2 = ser.deserialize(raw)
@@ -49,6 +49,6 @@ def test_roundtrip_with_flushes_and_transparents():
     assert o.variant == om.COMPOSITE
     assert o.composite.evaluate_scalar(7, [5, 9]) == \
         system.oracles[comp].composite.evaluate_scalar(7, [5, 9])
-    assert system2.flushes[0].selector_id == s
+    assert system2.flushes[0].selector_ids == (s,)
     assert system2.oracles[t1].transparent.evaluate_scalar([1, 0, 1, 0]) == \
         system.oracles[t1].transparent.evaluate_scalar([1, 0, 1, 0])
