@@ -17,6 +17,7 @@ REPEATING = "repeating"
 PACKED = "packed"
 ZERO_PADDED = "zero_padded"
 COMPOSITE = "composite"
+PROJECTED = "projected"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -34,6 +35,9 @@ class Oracle:
     log_degree: int = 0        # packed: log extension degree; repeating: log count
     transparent: object = None  # TransparentPoly (n_vars, level, evaluate_scalar, mle)
     composite: object = None   # ArithExpr over the inner oracles (COMPOSITE)
+    proj_values: tuple = ()    # projected: B128 values bound to inner vars
+    start_index: int = 0       # projected / zero_padded: first bound/pad var
+    nonzero_index: int = 0     # zero_padded: surviving block index
     name: str = ""
 
 
@@ -96,6 +100,33 @@ class OracleSet:
             assert self[oid].n_vars == n_vars
         return self._add(n_vars=n_vars, tower_level=7, variant=COMPOSITE,
                          inner=tuple(inner_ids), composite=expr, name=name)
+
+    def add_projected(self, inner_id: int, values: tuple, start_index: int = 0,
+                      name: str = "") -> int:
+        """Bind inner vars [start_index, start_index+len(values)) to constant
+        B128 values (`oracle/multilinear.rs:707-733` Projected)."""
+        inner = self[inner_id]
+        assert len(values) + start_index <= inner.n_vars
+        return self._add(n_vars=inner.n_vars - len(values), tower_level=7,
+                         variant=PROJECTED, inner=(inner_id,),
+                         proj_values=tuple(int(v) for v in values),
+                         start_index=start_index, name=name)
+
+    def add_zero_padded(self, inner_id: int, n_pad_vars: int, nonzero_index: int,
+                        start_index: int = None, name: str = "") -> int:
+        """Insert n_pad_vars block-index variables at start_index; the data
+        is zero except block `nonzero_index`, which holds the inner oracle
+        (`oracle/multilinear.rs:736-776` ZeroPadded)."""
+        inner = self[inner_id]
+        if start_index is None:
+            start_index = inner.n_vars
+        assert start_index <= inner.n_vars
+        assert nonzero_index < 1 << n_pad_vars
+        return self._add(n_vars=inner.n_vars + n_pad_vars,
+                         tower_level=inner.tower_level, variant=ZERO_PADDED,
+                         inner=(inner_id,), log_degree=n_pad_vars,
+                         nonzero_index=nonzero_index, start_index=start_index,
+                         name=name)
 
     def committed_ids(self) -> list[int]:
         return [o.id for o in self.oracles if o.variant == COMMITTED]

@@ -56,6 +56,28 @@ def materialize(oracles: om.OracleSet, witness: dict, oid: int):
         coeffs = idata.reshape(tower.elem_shape(
             ilvl, (1 << o.n_vars, 1 << o.log_degree)))
         out = (o.tower_level, tower.join_from_subfield(o.tower_level, ilvl, coeffs))
+    elif o.variant == om.PROJECTED:
+        from ..math import mle
+        ilvl, idata = materialize(oracles, witness, o.inner[0])
+        if ilvl < LEVEL:
+            idata = tower.embed(ilvl, LEVEL, idata)
+        nb = len(o.proj_values)
+        lo, hi = o.start_index, oracles[o.inner[0]].n_vars - o.start_index - nb
+        eq = mle.eq_ind_partial_eval(LEVEL, tower.from_ints(LEVEL, list(o.proj_values)))
+        d = idata.reshape(1 << hi, 1 << nb, 1 << lo, tower.n_limbs(LEVEL))
+        folded = tower.inner_product(LEVEL, d, eq[None, :, None, :], axis=1)
+        out = (LEVEL, folded.reshape((1 << o.n_vars, tower.n_limbs(LEVEL))))
+    elif o.variant == om.ZERO_PADDED:
+        ilvl, idata = materialize(oracles, witness, o.inner[0])
+        import jax.numpy as jnp
+        pad, lo = o.log_degree, o.start_index
+        hi = oracles[o.inner[0]].n_vars - lo
+        d = idata.reshape(tower.elem_shape(ilvl, (1 << hi, 1, 1 << lo)))
+        shape = list(d.shape)
+        shape[1] = 1 << pad
+        z = jnp.zeros(shape, dtype=d.dtype)
+        z = z.at[:, o.nonzero_index].set(d[:, 0])
+        out = (ilvl, z.reshape(tower.elem_shape(ilvl, (1 << o.n_vars,))))
     else:
         raise KeyError(f"cannot materialize oracle {oid} ({o.variant})")
     witness[oid] = out

@@ -40,6 +40,12 @@ def _dedup_key(c: EvalcheckClaim):
 class _ShiftEntry:
     claim: EvalcheckClaim
     oracle: om.Oracle
+    kind: str = "shift"  # "shift" | "packed"
+
+    @property
+    def block_bits(self) -> int:
+        return (self.oracle.shift_block_bits if self.kind == "shift"
+                else self.oracle.log_degree)
 
 
 @dataclasses.dataclass
@@ -158,6 +164,31 @@ class _Walker:
                 next_queue.append(EvalcheckClaim(i, claim.point, e))
         elif o.variant == om.SHIFTED:
             shift_entries.append(_ShiftEntry(claim, o))
+        elif o.variant == om.PACKED:
+            # packed eval claim -> kappa-var bivariate sumcheck of the
+            # projected inner against the tower-basis transparent
+            # (`evalcheck/subclaims.rs` packed_sumcheck_meta)
+            shift_entries.append(_ShiftEntry(claim, o, kind="packed"))
+        elif o.variant == om.PROJECTED:
+            # point rewrite only (`evalcheck/verify.rs:200-216`)
+            pt = (claim.point[:o.start_index] + o.proj_values
+                  + claim.point[o.start_index:])
+            next_queue.append(EvalcheckClaim(o.inner[0], pt, claim.eval))
+        elif o.variant == om.ZERO_PADDED:
+            # divide out the select-row indicator (`evalcheck/verify.rs:261-295`)
+            s, pad = o.start_index, o.log_degree
+            zs = claim.point[s:s + pad]
+            term = 1
+            for i, z in enumerate(zs):
+                bit = (o.nonzero_index >> i) & 1
+                term = scalar.mul(LEVEL, term, z if bit else z ^ 1)
+            sub_pt = claim.point[:s] + claim.point[s + pad:]
+            if term == 0:
+                if claim.eval != 0:
+                    raise ValueError(f"zero-padded oracle {o.id} eval must vanish")
+            else:
+                inner_eval = scalar.mul(LEVEL, claim.eval, scalar.invert(LEVEL, term))
+                next_queue.append(EvalcheckClaim(o.inner[0], sub_pt, inner_eval))
         elif o.variant == om.COMPOSITE:
             composite_entries.append(_CompositeEntry(claim, o))
         else:
@@ -176,17 +207,19 @@ class _Walker:
         return val
 
     def _shift_pair_stack(self, entries: list[_ShiftEntry], b: int):
-        """(2k, 2^b, 4) B128 stack [proj_0, ind_0, proj_1, ind_1, ...] for k
-        shift entries with equal block bits b: inner-multilinear projections
-        batched per (level, n_vars, suffix) group, shift indicators from one
-        batched carry-DP kernel."""
+        """(2k, 2^b, 4) B128 stack [proj_0, mult_0, proj_1, mult_1, ...] for
+        k shift/packed entries with equal block bits b: inner-multilinear
+        projections batched per (level, n_vars, suffix) group; multipliers
+        are shift indicators (one batched carry-DP kernel) or tower-basis
+        vectors (packed)."""
         k = len(entries)
         groups: dict = {}
         for idx, e in enumerate(entries):
             o = e.oracle
             inner = self.oracles[o.inner[0]]
             ilevel, _ = self.witness[o.inner[0]]
-            z_high = tuple(e.claim.point[b:])
+            z_high = (tuple(e.claim.point[b:]) if e.kind == "shift"
+                      else tuple(e.claim.point))
             groups.setdefault((ilevel, inner.n_vars, z_high), []).append(idx)
         chunks, order = [], []
         for (ilevel, n, z_high), idxs in groups.items():
@@ -204,10 +237,21 @@ class _Walker:
             inv[idx] = pos
         proj_all = jnp.take(jnp.concatenate(chunks, axis=0),
                             jnp.asarray(inv, dtype=jnp.int32), axis=0)
-        ind_all = shift_ind.partial_mle_batch(
-            [e.oracle.shift_variant for e in entries], b,
-            [e.oracle.shift_offset for e in entries],
-            [list(e.claim.point[:b]) for e in entries])
+        shift_idx = [i for i, e in enumerate(entries) if e.kind == "shift"]
+        mult_rows = [None] * k
+        if shift_idx:
+            se = [entries[i] for i in shift_idx]
+            ind = shift_ind.partial_mle_batch(
+                [e.oracle.shift_variant for e in se], b,
+                [e.oracle.shift_offset for e in se],
+                [list(e.claim.point[:b]) for e in se])
+            for pos, i in enumerate(shift_idx):
+                mult_rows[i] = ind[pos]
+        for i, e in enumerate(entries):
+            if e.kind == "packed":
+                mult_rows[i] = tower.from_ints(LEVEL, _tower_basis_values(
+                    self.oracles[e.oracle.inner[0]].tower_level, b))
+        ind_all = jnp.stack(mult_rows, axis=0)
         return jnp.stack([proj_all, ind_all], axis=1).reshape(2 * k, 1 << b, 4)
 
     def _run_sumcheck_batch(self, shift_entries, composite_entries) -> list[EvalcheckClaim]:
@@ -216,15 +260,15 @@ class _Walker:
         from ..math.arith import ArithExpr, CompositionPoly
 
         specs = []  # (kind, entry, n_vars)
-        for e in sorted(shift_entries, key=lambda e: -e.oracle.shift_block_bits):
-            specs.append(("shift", e, e.oracle.shift_block_bits))
+        for e in sorted(shift_entries, key=lambda e: -e.block_bits):
+            specs.append((e.kind, e, e.block_bits))
         for e in composite_entries:
             specs.append(("composite", e, e.oracle.n_vars))
         specs.sort(key=lambda s: -s[2])  # stable: shifts keep relative order
 
         claims, eq_points = [], []
         for kind, e, nv in specs:
-            if kind == "shift":
+            if kind in ("shift", "packed"):
                 claims.append(SumcheckClaim(
                     nv, 2, (CompositeSumClaim(bivariate_product(), e.claim.eval),)))
                 eq_points.append(None)
@@ -243,11 +287,12 @@ class _Walker:
             i = 0
             while i < len(specs):
                 kind, e, nv = specs[i]
-                if kind == "shift":
-                    # contiguous run of shift specs with equal n_vars -> ONE
-                    # batched device-resident prover for all of them
+                if kind in ("shift", "packed"):
+                    # contiguous run of shift/packed specs with equal n_vars
+                    # -> ONE batched device-resident prover for all of them
                     j = i
-                    while j < len(specs) and specs[j][0] == "shift" and specs[j][2] == nv:
+                    while (j < len(specs) and specs[j][0] in ("shift", "packed")
+                           and specs[j][2] == nv):
                         j += 1
                     group = [s[1] for s in specs[i:j]]
                     provers.append(sc_prove.BatchedBivariateSumcheckProver(
@@ -286,10 +331,38 @@ class _Walker:
                         raise ValueError("shift indicator evaluation mismatch")
                 inner_point = tuple(pt) + tuple(e.claim.point[b:])
                 new_claims.append(EvalcheckClaim(o.inner[0], inner_point, proj_eval))
+            elif kind == "packed":
+                proj_eval, tb_eval = evals
+                if not self.is_prover:
+                    ilevel = self.oracles[o.inner[0]].tower_level
+                    want = _tower_basis_eval(ilevel, o.log_degree, pt)
+                    if tb_eval != want:
+                        raise ValueError("tower basis evaluation mismatch")
+                inner_point = tuple(pt) + tuple(e.claim.point)
+                new_claims.append(EvalcheckClaim(o.inner[0], inner_point, proj_eval))
             else:
                 for iid, ev in zip(o.inner, evals[1:]):
                     new_claims.append(EvalcheckClaim(iid, tuple(pt), ev))
         return new_claims
+
+
+def _tower_basis_values(level: int, kappa: int) -> list[int]:
+    """beta_v for v in 0..2^kappa: basis of T_{level+kappa} over T_level as
+    B128 ints (`transparent/tower_basis.rs` semantics; the canonical packing
+    makes beta_v = 1 << (v * 2^level))."""
+    return [1 << (v << level) for v in range(1 << kappa)]
+
+
+def _tower_basis_eval(level: int, kappa: int, pt: list[int]) -> int:
+    """Host MLE evaluation of the tower-basis transparent at pt."""
+    acc = 0
+    for v, beta in enumerate(_tower_basis_values(level, kappa)):
+        term = beta
+        for i, z in enumerate(pt):
+            bit = (v >> i) & 1
+            term = scalar.mul(LEVEL, term, z if bit else z ^ 1)
+        acc ^= term
+    return acc
 
 
 def prove(oracles: om.OracleSet, witness: dict, claims: list[EvalcheckClaim],

@@ -62,6 +62,104 @@ def test_evalcheck_roundtrip():
     assert {c.oracle_id for c in committed_v} == {a_id, c_id}
 
 
+def _roundtrip(oracles, witness, claims):
+    pt = ProverTranscript()
+    committed_p = evalcheck.prove(oracles, witness, claims, pt)
+    vt = VerifierTranscript(pt.finalize())
+    committed_v = evalcheck.verify(oracles, claims, vt)
+    vt.finalize()
+    assert [(c.oracle_id, c.point, c.eval) for c in committed_p] == \
+           [(c.oracle_id, c.point, c.eval) for c in committed_v]
+    for c in committed_v:
+        lvl, data = witness[c.oracle_id]
+        assert eval_direct(lvl, data, oracles[c.oracle_id].n_vars, c.point) == c.eval
+    return committed_v
+
+
+def test_evalcheck_projected():
+    """Projected claims rewrite the point onto the inner oracle
+    (`evalcheck/verify.rs:200-216`)."""
+    from binius_tpu.constraint_system import witness as cw
+
+    n = 5
+    oracles = om.OracleSet()
+    a_id = oracles.add_committed(n, 5, "a")
+    vals = tuple(random.getrandbits(128) for _ in range(2))
+    p_id = oracles.add_projected(a_id, vals, start_index=1, name="a_proj")
+    a_vals = [random.getrandbits(32) for _ in range(1 << n)]
+    witness = {a_id: (5, tower.from_ints(5, a_vals))}
+    plvl, pdata = cw.materialize(oracles, witness, p_id)
+    point = tuple(random.getrandbits(128) for _ in range(n - 2))
+    ev = eval_direct(plvl, pdata, n - 2, point)
+    # projection semantics: inner at point[:1] ++ vals ++ point[1:]
+    assert ev == eval_direct(5, witness[a_id][1], n, point[:1] + vals + point[1:])
+    committed = _roundtrip(oracles, witness,
+                           [evalcheck.EvalcheckClaim(p_id, point, ev)])
+    assert {c.oracle_id for c in committed} == {a_id}
+
+
+def test_evalcheck_zero_padded():
+    from binius_tpu.constraint_system import witness as cw
+
+    n = 3
+    oracles = om.OracleSet()
+    a_id = oracles.add_committed(n, 5, "a")
+    z_id = oracles.add_zero_padded(a_id, 2, nonzero_index=2, start_index=1,
+                                   name="a_pad")
+    a_vals = [random.getrandbits(32) for _ in range(1 << n)]
+    witness = {a_id: (5, tower.from_ints(5, a_vals))}
+    zlvl, zdata = cw.materialize(oracles, witness, z_id)
+    ints = tower.to_ints(zlvl, zdata)
+    # layout: index = hi << 3 | block << 1 | lo; only block 2 is nonzero
+    for hi in range(1 << (n - 1)):
+        for blk in range(4):
+            for lo in range(2):
+                v = ints[(hi << 3) | (blk << 1) | lo]
+                assert v == (a_vals[(hi << 1) | lo] if blk == 2 else 0)
+    point = tuple(random.getrandbits(128) for _ in range(n + 2))
+    ev = eval_direct(zlvl, zdata, n + 2, point)
+    committed = _roundtrip(oracles, witness,
+                           [evalcheck.EvalcheckClaim(z_id, point, ev)])
+    assert {c.oracle_id for c in committed} == {a_id}
+
+
+def test_evalcheck_packed():
+    """Packed claims reduce via the tower-basis bivariate sumcheck
+    (`evalcheck/subclaims.rs` packed_sumcheck_meta)."""
+    from binius_tpu.constraint_system import witness as cw
+
+    n, kappa = 6, 2
+    oracles = om.OracleSet()
+    a_id = oracles.add_committed(n, 3, "a")
+    p_id = oracles.add_packed(a_id, kappa, "a_packed")
+    a_vals = [random.getrandbits(8) for _ in range(1 << n)]
+    witness = {a_id: (3, tower.from_ints(3, a_vals))}
+    plvl, pdata = cw.materialize(oracles, witness, p_id)
+    assert plvl == 5
+    point = tuple(random.getrandbits(128) for _ in range(n - kappa))
+    ev = eval_direct(plvl, pdata, n - kappa, point)
+    committed = _roundtrip(oracles, witness,
+                           [evalcheck.EvalcheckClaim(p_id, point, ev)])
+    assert {c.oracle_id for c in committed} == {a_id}
+
+
+def test_evalcheck_packed_wrong_eval_rejected():
+    n, kappa = 6, 2
+    oracles = om.OracleSet()
+    a_id = oracles.add_committed(n, 3, "a")
+    p_id = oracles.add_packed(a_id, kappa, "a_packed")
+    a_vals = [random.getrandbits(8) for _ in range(1 << n)]
+    witness = {a_id: (3, tower.from_ints(3, a_vals))}
+    point = tuple(random.getrandbits(128) for _ in range(n - kappa))
+    claims = [evalcheck.EvalcheckClaim(p_id, point, 12345)]
+    pt = ProverTranscript()
+    evalcheck.prove(oracles, witness, claims, pt)
+    vt = VerifierTranscript(pt.finalize())
+    # the lied claimed sum fails the sumcheck's final composite check
+    with pytest.raises(ValueError):
+        evalcheck.verify(oracles, claims, vt)
+
+
 def test_evalcheck_dedup():
     n = 5
     oracles, witness, (a_id, s_id, c_id, lc_id) = build_system(n)
