@@ -26,6 +26,7 @@ from ..protocols import evalcheck, gkr_gpa, ring_switch
 from ..protocols import fri as fri_mod
 from ..protocols import piop
 from ..protocols.sumcheck import univariate_zerocheck as uzc
+from ..utils import tracing
 from ..protocols.sumcheck import zerocheck as zc
 from ..protocols.sumcheck.common import LEVEL
 from ..transcript.transcript import ProverTranscript, VerifierTranscript
@@ -60,6 +61,7 @@ class _PhaseTimer:
             name, t0 = self._cur
             dt = time.perf_counter() - t0
             self.times[name] = self.times.get(name, 0.0) + dt
+            tracing.record(f"{self.what}.{name}", t0, dt)
             if _TRACE_PHASES:
                 print(f"[{self.what}] phase {name}: {dt * 1e3:.1f} ms", flush=True)
             self._cur = None

@@ -222,23 +222,32 @@ def polyval_to_canonical(a: int) -> int:
 # AES tower (Rijndael GF(2^8) at level 3)
 # ---------------------------------------------------------------------------
 
-@functools.lru_cache(maxsize=None)
-def canonical_to_aes_b8_matrix() -> list[int]:
-    """8x8 F2 map: canonical B8 -> AES GF(2^8) (tower embeds into Rijndael)."""
-    gens = derive_tower_embedding(_AesB8Ops.mul, n_bits=8, levels=3)
-    cols = []
-    for i in range(8):
-        acc = 1
-        for j in range(3):
-            if (i >> j) & 1:
-                acc = _AesB8Ops.mul(acc, gens[j])
-        cols.append(acc)
-    return cols
+#: Parity anchor: the reference pins its AES->binary isomorphism by mapping
+#: the Rijndael polynomial generator x (0x02) to 0x3C in the canonical tower
+#: (`aes_field.rs:116`, AES_TO_BINARY_LINEAR_TRANSFORMATION column 1). Any of
+#: the 8 roots of the Rijndael polynomial gives a valid isomorphism; we anchor
+#: on the same root so derived constants (e.g. the Grostl S-box matrix) are
+#: byte-identical to the reference's.
+_AES_GENERATOR_IMAGE = 0x3C
 
 
 @functools.lru_cache(maxsize=None)
 def aes_to_canonical_b8_matrix() -> list[int]:
-    return scalar.invert_matrix(canonical_to_aes_b8_matrix(), 8)
+    """8x8 F2 map: AES GF(2^8) -> canonical B8. Column j = image of x^j,
+    i.e. the tower power basis of the anchored Rijndael root."""
+    g = _AES_GENERATOR_IMAGE
+    # verify the anchor is a root of x^8 + x^4 + x^3 + x + 1 in the tower
+    pw = [1]
+    for _ in range(8):
+        pw.append(scalar.mul(3, pw[-1], g))
+    assert pw[8] ^ pw[4] ^ pw[3] ^ pw[1] ^ pw[0] == 0, \
+        "anchored AES generator image is not a Rijndael root"
+    return pw[:8]
+
+
+@functools.lru_cache(maxsize=None)
+def canonical_to_aes_b8_matrix() -> list[int]:
+    return scalar.invert_matrix(aes_to_canonical_b8_matrix(), 8)
 
 
 def aes_b8_mul(a: int, b: int) -> int:

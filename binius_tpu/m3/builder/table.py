@@ -134,6 +134,35 @@ class TableBuilder:
                                        expr_cols=tuple(bit_cols)))
         return c
 
+    def add_packed(self, name: str, inner: Col) -> Col:
+        """Pack all 2^v per-row values of `inner` into ONE value per row at
+        tower level inner.level + v (`builder/table.rs add_packed`)."""
+        assert inner.log_values_per_row > 0
+        c = self._new_col(inner.level + inner.log_values_per_row, 0, name)
+        self.columns.append(_ColumnDef(c, "packed", inner=inner))
+        return c
+
+    def add_selected(self, name: str, inner: Col, index: int) -> Col:
+        """Select per-row value `index` of a vertically packed column
+        (`builder/table.rs add_selected`); lowers to a Projected oracle."""
+        assert 0 <= index < (1 << inner.log_values_per_row)
+        c = self._new_col(7, 0, name)
+        self.columns.append(_ColumnDef(c, "selected", inner=inner,
+                                       constant=index, shift_block_bits=0))
+        return c
+
+    def add_selected_block(self, name: str, inner: Col, index: int,
+                           log_new_vpr: int) -> Col:
+        """Select the 2^log_new_vpr per-row values starting at value-index
+        index << log_new_vpr (`builder/table.rs add_selected_block`)."""
+        v = inner.log_values_per_row
+        assert log_new_vpr < v and 0 <= index < (1 << (v - log_new_vpr))
+        c = self._new_col(7, log_new_vpr, name)
+        self.columns.append(_ColumnDef(c, "selected", inner=inner,
+                                       constant=index,
+                                       shift_block_bits=log_new_vpr))
+        return c
+
     def add_structured(self, name: str, level: int, expr: ArithExpr) -> Col:
         """MLE-structured column: value at row r is `expr` evaluated on the
         bits of r (var i = bit i, LSB first); `expr` must be multilinear.
@@ -166,6 +195,11 @@ class TableBuilder:
         vpr = cols[0].log_values_per_row
         assert all(c.log_values_per_row == vpr for c in cols)
         self.zero_constraints.append((name, vpr, expr, tuple(cols), group))
+
+    def stat(self):
+        """Proving-cost statistics for this table (`builder/table.rs:825`)."""
+        from .stat import TableStat
+        return TableStat(self)
 
     # -- flushes -----------------------------------------------------------
     def push(self, channel_id: int, cols: list, multiplicity: int = 1,
@@ -216,8 +250,8 @@ class M3ConstraintSystem:
         assert len(table_sizes) == len(self.tables)
         table_log_rows = []
         for t, size in zip(self.tables, table_sizes):
-            assert size >= 1
-            log_cap = (size - 1).bit_length()
+            assert size >= 0
+            log_cap = max(0, (size - 1).bit_length())
             if t.size_spec == "fixed":
                 assert size == 1 << t.fixed_log_rows, \
                     f"table {t.name} requires exactly 2^{t.fixed_log_rows} rows"
@@ -266,6 +300,16 @@ class M3ConstraintSystem:
                     tp = MLEFromValues(cd.inner, col.level)
                     tid = oracles.add_transparent(tp, nm + ".pattern")
                     oracle_map[key] = oracles.add_repeating(tid, log_rows, nm)
+                elif cd.kind == "packed":
+                    inner_id = oracle_map[(t.table_id, cd.inner.index)]
+                    oracle_map[key] = oracles.add_packed(
+                        inner_id, cd.inner.log_values_per_row, nm)
+                elif cd.kind == "selected":
+                    inner_id = oracle_map[(t.table_id, cd.inner.index)]
+                    nb = cd.inner.log_values_per_row - cd.shift_block_bits
+                    bits = tuple((cd.constant >> i) & 1 for i in range(nb))
+                    oracle_map[key] = oracles.add_projected(
+                        inner_id, bits, cd.shift_block_bits, nm)
                 elif cd.kind == "structured":
                     from ...protocols.transparent import StructuredArith
                     expr = _bind_high_vars_zero(cd.inner, n_vars)

@@ -24,12 +24,15 @@ class TableWitness:
         return 1 << self.log_rows
 
     def set_column(self, col, values: list) -> None:
-        """Accepts `size` rows of values; pads to capacity with zeros
-        (arbitrary-size tables; flushes are masked by the step-down)."""
+        """Accepts `size` rows of values (zero-padded to capacity) or full
+        capacity rows directly (gadget fillers repeat the last event into
+        padding so row-wise constraints keep holding, `witness.rs:577-589`;
+        the step-down mask keeps padded rows out of the channel balance)."""
         vpr = col.log_values_per_row
         expect = self.size << vpr
-        assert len(values) == expect, (len(values), expect)
-        pad = (self.n_rows << vpr) - expect
+        full = self.n_rows << vpr
+        assert len(values) in (expect, full), (len(values), expect, full)
+        pad = full - len(values)
         self.columns[col.index] = [int(v) for v in values] + [0] * pad
 
     def set_packed_ints(self, col, row_values: list) -> None:

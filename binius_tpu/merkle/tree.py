@@ -67,23 +67,47 @@ def _hash_leaves_device(blobs: np.ndarray) -> np.ndarray:
     return np.asarray(jax.device_get(out))
 
 
+@dataclasses.dataclass(frozen=True)
+class HashScheme:
+    """A Merkle digest family: batched leaf hashing + 2-to-1 compression
+    (the reference's `MerkleTreeScheme` hash parameters: Grostl-256 or
+    Vision Mark-32, `merkle_tree/scheme.rs`)."""
+
+    name: str
+    hash_leaves: callable      # (N, L) uint8 -> (N, 32) uint8
+    compress_pairs: callable   # (N, 64) uint8 -> (N, 32) uint8
+
+
+GROESTL_SCHEME = HashScheme("groestl256", hash_leaves, compress_pairs)
+
+
+@functools.lru_cache(maxsize=None)
+def vision_scheme() -> HashScheme:
+    """Vision Mark-32 instantiation (`hash/vision.py`)."""
+    from ..hash import vision
+
+    return HashScheme("vision32", vision.digest_many,
+                      vision.Vision32Compression().compress_batch)
+
+
 @dataclasses.dataclass
 class MerkleTree:
     """All layers, layer[0] = leaf digests (N, 32) ... layer[d] = root (1, 32)."""
 
     layers: list
+    scheme: HashScheme = GROESTL_SCHEME
 
     @staticmethod
-    def build(leaf_digests: np.ndarray) -> "MerkleTree":
+    def build(leaf_digests: np.ndarray, scheme: HashScheme = GROESTL_SCHEME) -> "MerkleTree":
         assert leaf_digests.ndim == 2 and leaf_digests.shape[1] == 32
         n = leaf_digests.shape[0]
         assert n & (n - 1) == 0, "leaf count must be a power of two"
         layers = [leaf_digests]
         cur = leaf_digests
         while cur.shape[0] > 1:
-            cur = compress_pairs(cur.reshape(-1, 64))
+            cur = np.asarray(scheme.compress_pairs(cur.reshape(-1, 64)))
             layers.append(cur)
-        return MerkleTree(layers)
+        return MerkleTree(layers, scheme)
 
     @property
     def root(self) -> bytes:
@@ -102,22 +126,24 @@ class MerkleTree:
         return out
 
 
-def verify_branch(root: bytes, index: int, leaf_digest: bytes, branch: list[bytes]) -> bool:
+def verify_branch(root: bytes, index: int, leaf_digest: bytes, branch: list[bytes],
+                  scheme: HashScheme = GROESTL_SCHEME) -> bool:
     cur = np.frombuffer(leaf_digest, dtype=np.uint8)
     for k, sib in enumerate(branch):
         s = np.frombuffer(sib, dtype=np.uint8)
         pair = np.concatenate([cur, s] if ((index >> k) & 1) == 0 else [s, cur])
-        cur = compress_pairs(pair[None, :])[0]
+        cur = np.asarray(scheme.compress_pairs(pair[None, :]))[0]
     return cur.tobytes() == root
 
 
 def verify_branch_to_layer(layer: np.ndarray, index: int, leaf_digest: bytes,
-                           branch: list[bytes]) -> bool:
+                           branch: list[bytes],
+                           scheme: HashScheme = GROESTL_SCHEME) -> bool:
     """Verify against a cached internal layer (the reference's optimal
     verification layer, `merkle_tree/scheme.rs:48-50`)."""
     cur = np.frombuffer(leaf_digest, dtype=np.uint8)
     for k, sib in enumerate(branch):
         s = np.frombuffer(sib, dtype=np.uint8)
         pair = np.concatenate([cur, s] if ((index >> k) & 1) == 0 else [s, cur])
-        cur = compress_pairs(pair[None, :])[0]
+        cur = np.asarray(scheme.compress_pairs(pair[None, :]))[0]
     return cur.tobytes() == layer[index >> len(branch)].tobytes()

@@ -132,8 +132,15 @@ class _Walker:
                 self.seen[key] = claim.eval
                 self._process(claim, shift_entries, composite_entries, next_queue)
             if shift_entries or composite_entries:
+                import os
+                import time
+                t0 = time.perf_counter()
                 next_queue.extend(self._run_sumcheck_batch(shift_entries,
                                                           composite_entries))
+                if os.environ.get("BINIUS_TRACE_PHASES", "") not in ("", "0"):
+                    print(f"  [evalcheck] wave: {len(shift_entries)} shift/packed"
+                          f" + {len(composite_entries)} composite claims:"
+                          f" {(time.perf_counter() - t0) * 1e3:.1f} ms", flush=True)
             queue = next_queue
         return self.committed
 

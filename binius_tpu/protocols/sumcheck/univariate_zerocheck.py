@@ -34,6 +34,8 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
+import time
 
 import jax
 import jax.numpy as jnp
@@ -49,6 +51,15 @@ from .front_loaded import FrontLoadedBatchProver, FrontLoadedBatchVerifier
 from .zerocheck import ZerocheckClaim, to_sumcheck_claim
 
 DOMAIN_LEVEL = 3  # B8 NTT twiddles: the reference's FDomain (verify.rs:227)
+
+_TRACE = os.environ.get("BINIUS_TRACE_PHASES", "") not in ("", "0")
+
+
+def _trace(msg: str, t0: float) -> float:
+    t = time.perf_counter()
+    if _TRACE:
+        print(f"  [uzc] {msg}: {(t - t0) * 1e3:.1f} ms", flush=True)
+    return t
 
 
 def _max_degree(zc: ZerocheckClaim) -> int:
@@ -237,6 +248,7 @@ def batch_prove(zc_claims: list[ZerocheckClaim], mls_per_claim: list,
     dom_log = max(1, (max_domain_size - 1).bit_length())
 
     # --- stage 1: univariate round ---
+    t0 = time.perf_counter()
     batch_coeffs = [transcript.sample_scalar(LEVEL) for _ in zc_claims]
     r_claims = [_claim_round_evals(zc, mls, eq_pts[i], k, max_d, dom_log)
                 for i, (zc, mls) in enumerate(zip(zc_claims, mls_per_claim))]
@@ -251,6 +263,8 @@ def batch_prove(zc_claims: list[ZerocheckClaim], mls_per_claim: list,
     tail = lagr[1 << k:]
     sums_dev = tower.inner_product(LEVEL, r_all, tail[None, :, :], axis=1)
     claimed_sums = tower.to_ints(LEVEL, sums_dev)              # per composition
+    t0 = _trace(f"stage1 univariate ({len(zc_claims)} claims, "
+                f"{len(claimed_sums)} comps, skip={k})", t0)
 
     # --- stage 2: eq-ind sumchecks over unskipped variables (high-to-low) ---
     sub_points = points[:1 << k]
@@ -270,8 +284,10 @@ def batch_prove(zc_claims: list[ZerocheckClaim], mls_per_claim: list,
         s2_provers.append(sc_prove.RegularSumcheckProver(
             claim, [eq_ml, *folded], order_high=True,
             eq_ind_challenges=tuple(eq_pt)))
+    t0 = _trace("stage2 setup (fold_skipped)", t0)
     fl2, s2_challenges = _run_front_loaded_prove(s2_provers, transcript,
                                                  coeffs=batch_coeffs)
+    t0 = _trace(f"stage2 eq-ind sumchecks ({len(s2_provers)} provers)", t0)
 
     # --- stage 3: univariatizing reduction sumcheck over skipped variables ---
     proj_mls, red_sums = [], []
@@ -287,6 +303,7 @@ def batch_prove(zc_claims: list[ZerocheckClaim], mls_per_claim: list,
     red_prover = sc_prove.BivariateSumcheckProver(
         red_claim, [*proj_mls, (LEVEL, lagr_cube)], order_high=True)
     fl3, s3_challenges = _run_front_loaded_prove([red_prover], transcript)
+    t0 = _trace(f"stage3 reduction ({n_total} multilinears)", t0)
     skipped = list(reversed(s3_challenges))
     concat_evals = fl3.multilinear_evals[0]
     assert len(concat_evals) == n_total + 1

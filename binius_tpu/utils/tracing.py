@@ -1,0 +1,92 @@
+"""Structured span tracing: the analog of the reference's `tracing-profile`
+instrumentation (spans with `perfetto_category = "phase.main"` etc.,
+`constraint_system/prove.rs:179-184`, `crates/utils`' tracing feature).
+
+Spans nest via a stack; the collected trace exports as Chrome trace-event
+JSON, loadable in Perfetto / chrome://tracing — the same consumer the
+reference targets. Controlled by env:
+
+- ``BINIUS_TRACE_PHASES=1`` — print span timings to stdout as they close.
+- ``BINIUS_TRACE_FILE=trace.json`` — write the Chrome trace at process exit.
+
+Spans are always collected when a trace file is requested and are otherwise
+~free (one perf_counter call per enter/exit when disabled by both switches).
+
+For device-side profiling use ``jax.profiler.trace`` around ``prove`` — XLA's
+own profiler captures per-HLO timing; these host spans capture the
+protocol-phase structure above it.
+"""
+
+from __future__ import annotations
+
+import atexit
+import contextlib
+import json
+import os
+import threading
+import time
+
+_PRINT = os.environ.get("BINIUS_TRACE_PHASES", "") not in ("", "0")
+_FILE = os.environ.get("BINIUS_TRACE_FILE", "")
+_events: list = []
+_tls = threading.local()
+
+
+def enabled() -> bool:
+    return _PRINT or bool(_FILE)
+
+
+def _depth() -> int:
+    return getattr(_tls, "depth", 0)
+
+
+@contextlib.contextmanager
+def span(name: str, category: str = "phase"):
+    """Nested timed span. Usage: ``with tracing.span("commit"): ...``"""
+    if not enabled():
+        yield
+        return
+    t0 = time.perf_counter()
+    _tls.depth = _depth() + 1
+    try:
+        yield
+    finally:
+        t1 = time.perf_counter()
+        _tls.depth = _depth() - 1
+        if _FILE:
+            _events.append({"name": name, "cat": category, "ph": "X",
+                            "ts": t0 * 1e6, "dur": (t1 - t0) * 1e6,
+                            "pid": os.getpid(),
+                            "tid": threading.get_ident() & 0xFFFF})
+        if _PRINT:
+            print(f"{'  ' * _depth()}[{category}] {name}: "
+                  f"{(t1 - t0) * 1e3:.1f} ms", flush=True)
+
+
+def instant(name: str, category: str = "mark") -> None:
+    """Zero-duration marker event."""
+    if _FILE:
+        _events.append({"name": name, "cat": category, "ph": "i",
+                        "ts": time.perf_counter() * 1e6, "s": "t",
+                        "pid": os.getpid(),
+                        "tid": threading.get_ident() & 0xFFFF})
+
+
+def record(name: str, t0: float, dur: float, category: str = "phase") -> None:
+    """Record an already-measured span (perf_counter start + duration) —
+    lets existing timers feed the trace without restructuring."""
+    if _FILE:
+        _events.append({"name": name, "cat": category, "ph": "X",
+                        "ts": t0 * 1e6, "dur": dur * 1e6,
+                        "pid": os.getpid(),
+                        "tid": threading.get_ident() & 0xFFFF})
+
+
+def save(path: str) -> None:
+    """Write collected events as a Chrome trace-event file."""
+    with open(path, "w") as f:
+        json.dump({"traceEvents": _events, "displayTimeUnit": "ms"}, f)
+
+
+if _FILE:
+    atexit.register(save, _FILE)

@@ -14,7 +14,18 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 import jax
 
-if jax.default_backend() in ("tpu", "axon"):
+if "--cpu" in sys.argv:
+    # sitecustomize pre-imports jax on the axon platform; env vars are too
+    # late for platform choice, switch via config (see CLAUDE.md). The CPU
+    # cache is safe only with the pinned ISA (tests/conftest.py).
+    sys.argv.remove("--cpu")
+    if "xla_cpu_max_isa" not in os.environ.get("XLA_FLAGS", ""):
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + " --xla_cpu_max_isa=AVX2").strip()
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/binius_tpu_jax_cache_cpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+elif jax.default_backend() in ("tpu", "axon"):
     # persistent cache is safe only for TPU executables (see CLAUDE.md)
     jax.config.update("jax_compilation_cache_dir", "/tmp/binius_tpu_jax_cache_tpu")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

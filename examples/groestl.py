@@ -1,9 +1,7 @@
-"""u32 multiplication via GKR exponentiation (counterpart of
-`examples/u32_mul_gkr.rs`): full 64-bit products through the constraint
-system's exp phase rather than schoolbook partial products.
+"""Grøstl P-permutation example circuit (counterpart of `examples/groestl.rs`).
 
-Usage:
-    python examples/u32_mul_gkr.py --log-n-muls 8 --log-inv-rate 1
+Proves 2^log_n_permutations Grøstl-256 P permutations. Usage:
+    python examples/groestl.py --log-n-permutations 3 [--cpu]
 """
 
 import argparse
@@ -32,42 +30,48 @@ elif jax.default_backend() in ("tpu", "axon"):
     jax.config.update("jax_compilation_cache_dir", "/tmp/binius_tpu_jax_cache_tpu")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+import numpy as np
+
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--log-n-muls", type=int, default=5)
+    ap.add_argument("--log-n-permutations", type=int, default=3)
     ap.add_argument("--log-inv-rate", type=int, default=1)
+    ap.add_argument("--skip-prove", action="store_true")
     args = ap.parse_args()
 
     from binius_tpu.constraint_system import prove as csp
     from binius_tpu.constraint_system.system import validate_witness
+    from binius_tpu.hash.groestl import _permute
     from binius_tpu.m3.builder.table import M3ConstraintSystem
     from binius_tpu.m3.builder.witness import WitnessIndex
-    from binius_tpu.m3.gadgets.mul import MulUU32
+    from binius_tpu.m3.gadgets.groestl import Permutation
 
     random.seed(0)
-    n = 1 << args.log_n_muls
-    print(f"u32_mul_gkr: proving {n} u32 multiplications on {jax.devices()[0]}")
+    n = 1 << args.log_n_permutations
+    print(f"groestl: proving {n} Grøstl P permutations on {jax.devices()[0]}")
 
     m3 = M3ConstraintSystem()
-    t = m3.add_table("mul")
-    g = MulUU32.build(t, "mul")
-    core, omap = m3.compile([args.log_n_muls])
+    t = m3.add_table("groestl_p")
+    g = Permutation.build(t, "perm", "P")
+    core, omap = m3.compile([args.log_n_permutations])
 
     t0 = time.perf_counter()
-    wi = WitnessIndex(m3, [args.log_n_muls])
-    tw = wi.table(0)
-    xs = [random.getrandbits(32) for _ in range(n)]
-    ys = [random.getrandbits(32) for _ in range(n)]
-    his, los = g.populate(tw, xs, ys)
-    assert all((x * y) == (hi << 32 | lo)
-               for x, y, hi, lo in zip(xs, ys, his, los))
+    wi = WitnessIndex(m3, [args.log_n_permutations])
+    states = [np.array([[random.getrandbits(8) for _ in range(8)]
+                        for _ in range(8)], dtype=np.uint8) for _ in range(n)]
+    outs = g.populate(wi.table(0), states)
+    assert np.array_equal(np.array(outs[0], dtype=np.uint8),
+                          _permute(states[0], is_q=False))
     witness = wi.to_core_witness(core, omap)
     t1 = time.perf_counter()
     print(f"trace-gen-time: {(t1 - t0) * 1e3:.1f} ms")
 
     validate_witness(core, witness)
     t2 = time.perf_counter()
+    print(f"validate-time: {(t2 - t1) * 1e3:.1f} ms")
+    if args.skip_prove:
+        return
     proof = csp.prove(core, witness, log_inv_rate=args.log_inv_rate)
     t3 = time.perf_counter()
     print(f"prove-time: {(t3 - t2) * 1e3:.1f} ms")

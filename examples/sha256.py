@@ -1,9 +1,7 @@
-"""u32 multiplication via GKR exponentiation (counterpart of
-`examples/u32_mul_gkr.rs`): full 64-bit products through the constraint
-system's exp phase rather than schoolbook partial products.
+"""SHA-256 compression example circuit (counterpart of `examples/sha256.rs`).
 
-Usage:
-    python examples/u32_mul_gkr.py --log-n-muls 8 --log-inv-rate 1
+Proves 2^log_n_compressions SHA-256 compressions. Usage:
+    python examples/sha256.py --log-n-compressions 3 [--cpu]
 """
 
 import argparse
@@ -35,39 +33,43 @@ elif jax.default_backend() in ("tpu", "axon"):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--log-n-muls", type=int, default=5)
+    ap.add_argument("--log-n-compressions", type=int, default=3)
     ap.add_argument("--log-inv-rate", type=int, default=1)
+    ap.add_argument("--skip-prove", action="store_true")
     args = ap.parse_args()
 
     from binius_tpu.constraint_system import prove as csp
     from binius_tpu.constraint_system.system import validate_witness
     from binius_tpu.m3.builder.table import M3ConstraintSystem
     from binius_tpu.m3.builder.witness import WitnessIndex
-    from binius_tpu.m3.gadgets.mul import MulUU32
+    from binius_tpu.m3.gadgets.sha256 import Sha256
 
     random.seed(0)
-    n = 1 << args.log_n_muls
-    print(f"u32_mul_gkr: proving {n} u32 multiplications on {jax.devices()[0]}")
+    n = 1 << args.log_n_compressions
+    print(f"sha256: proving {n} SHA-256 compressions on {jax.devices()[0]}")
 
     m3 = M3ConstraintSystem()
-    t = m3.add_table("mul")
-    g = MulUU32.build(t, "mul")
-    core, omap = m3.compile([args.log_n_muls])
+    t = m3.add_table("sha256")
+    msg = [t.add_committed(f"m{i}", 0, 5) for i in range(16)]
+    gadget = Sha256.build(t, "sha", msg)
+    core, omap = m3.compile([args.log_n_compressions])
 
     t0 = time.perf_counter()
-    wi = WitnessIndex(m3, [args.log_n_muls])
+    wi = WitnessIndex(m3, [args.log_n_compressions])
     tw = wi.table(0)
-    xs = [random.getrandbits(32) for _ in range(n)]
-    ys = [random.getrandbits(32) for _ in range(n)]
-    his, los = g.populate(tw, xs, ys)
-    assert all((x * y) == (hi << 32 | lo)
-               for x, y, hi, lo in zip(xs, ys, his, los))
+    rows = [[random.getrandbits(32) for _ in range(16)] for _ in range(n)]
+    for i, col in enumerate(msg):
+        tw.set_packed_ints(col, [r[i] for r in rows])
+    gadget.populate(tw, rows)
     witness = wi.to_core_witness(core, omap)
     t1 = time.perf_counter()
     print(f"trace-gen-time: {(t1 - t0) * 1e3:.1f} ms")
 
     validate_witness(core, witness)
     t2 = time.perf_counter()
+    print(f"validate-time: {(t2 - t1) * 1e3:.1f} ms")
+    if args.skip_prove:
+        return
     proof = csp.prove(core, witness, log_inv_rate=args.log_inv_rate)
     t3 = time.perf_counter()
     print(f"prove-time: {(t3 - t2) * 1e3:.1f} ms")

@@ -10,7 +10,17 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    # BINIUS_TEST_FORCE_1DEV=1 runs the suite on a single device (CI matrix
+    # variant; catches code that silently assumes a multi-device mesh).
+    n_dev = 1 if os.environ.get("BINIUS_TEST_FORCE_1DEV") else 8
+    flags = (flags + f" --xla_force_host_platform_device_count={n_dev}").strip()
+if "xla_cpu_max_isa" not in flags:
+    # Pin the ISA so serialized XLA:CPU executables stop embedding
+    # host-tuning features (+prefer-no-scatter/+prefer-no-gather) that make
+    # reloads crash — this is what makes the persistent compilation cache
+    # SAFE on CPU (see CLAUDE.md; suite is compile-bound without it).
+    flags = (flags + " --xla_cpu_max_isa=AVX2").strip()
+os.environ["XLA_FLAGS"] = flags
 
 
 def _raise_max_map_count(target: int = 1 << 20) -> None:
@@ -36,8 +46,9 @@ import jax  # noqa: E402  (already imported by sitecustomize; this is a no-op)
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_traceback_filtering", "off")
-# NOTE: no persistent compilation cache here. The XLA:CPU AOT executables
-# this jax version serializes embed compile-machine features
-# (amx / prefer-no-scatter) and SIGABRT/SIGSEGV when reloaded in a later
-# process on this host. In-process jit caching still covers the suite; the
-# TPU runs (bench/examples) keep their own cache dir, which is unaffected.
+# Persistent compilation cache: safe ONLY together with the pinned
+# --xla_cpu_max_isa above (otherwise executables embed per-host tuning
+# features and crash on reload). Cuts suite time massively — the prover is
+# XLA-compile-bound on this 4-vCPU box (uzc: 221s cold vs 9s warm).
+jax.config.update("jax_compilation_cache_dir", "/tmp/binius_tpu_jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
