@@ -92,22 +92,49 @@ def _collect_b8_products(level: int, a, b, out_pairs: list):
     return rebuild
 
 
-def mul_collect(level: int, a, b):
-    """MXU-path tower multiplication; same semantics as tower.mul.
-
-    Collects every B8 base product of the Karatsuba tree into one batched
-    matmul. Not jitted — callers (tower.mul) wrap it.
-    """
-    if level <= 3:
-        return mul_b8_batch(jnp.stack([a, b], axis=-1))
-    a = jnp.broadcast_to(a, jnp.broadcast_shapes(a.shape, b.shape))
-    b = jnp.broadcast_to(b, a.shape)
+def _mul_collect_core(level: int, a, b):
     pairs: list = []
     rebuild = _collect_b8_products(level, a, b, pairs)
     stacked = jnp.stack([jnp.stack(p, axis=-1) for p in pairs], axis=-2)  # (..., P, 2)
     prods = mul_b8_batch(stacked)                                         # (..., P)
     prod_list = [prods[..., i] for i in range(len(pairs))]
     return rebuild(prod_list)
+
+
+#: Max base products per fused kernel. At level 7 a 2^20-element batch is
+#: 81*2^20 ~ 2^26.3 pairs and XLA fuses the f32 outer/counts intermediates
+#: away completely (measured HBM-bound on v5e); at 2^24 elements the fusion
+#: splits and a counts f32[n, 81, 8] buffer (2.5KB/elem) materializes — OOM.
+#: Batches above the budget run chunk-at-a-time under lax.map.
+PAIR_BUDGET = 1 << 27
+
+
+def mul_collect(level: int, a, b):
+    """MXU-path tower multiplication; same semantics as tower.mul.
+
+    Collects every B8 base product of the Karatsuba tree into one batched
+    matmul; very large batches are chunked along the leading axis so the
+    per-chunk intermediates stay in XLA's fully-fused regime. Not jitted —
+    callers (tower.mul) wrap it.
+    """
+    if level <= 3:
+        return mul_b8_batch(jnp.stack([a, b], axis=-1))
+    a = jnp.broadcast_to(a, jnp.broadcast_shapes(a.shape, b.shape))
+    b = jnp.broadcast_to(b, a.shape)
+    batch_shape = a.shape[:-1] if tower.has_limb_dim(level) else a.shape
+    total = int(np.prod(batch_shape)) if batch_shape else 1
+    n_pairs = 3 ** (level - 3)
+    if batch_shape and total * n_pairs > PAIR_BUDGET:
+        lead = batch_shape[0]
+        per_lead = (total // lead) * n_pairs
+        chunk = 1 << max(0, max(1, PAIR_BUDGET // per_lead).bit_length() - 1)
+        if chunk < lead and lead % chunk == 0:
+            af = a.reshape(lead // chunk, chunk, *a.shape[1:])
+            bf = b.reshape(lead // chunk, chunk, *b.shape[1:])
+            out = jax.lax.map(
+                lambda ab: _mul_collect_core(level, ab[0], ab[1]), (af, bf))
+            return out.reshape(lead, *out.shape[2:])
+    return _mul_collect_core(level, a, b)
 
 
 mul_fast = functools.partial(jax.jit, static_argnums=0)(mul_collect)

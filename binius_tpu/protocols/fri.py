@@ -107,7 +107,11 @@ class FRIParams:
 
     @property
     def index_bits(self) -> int:
-        return self.log_len - self.fold_arities[0] if self.fold_arities else 0
+        bits = self.log_len - self.fold_arities[0] if self.fold_arities else 0
+        # sample_bits clamps at 32 (as the reference does, transcript/mod.rs:473);
+        # beyond that the query index distribution would silently narrow.
+        assert bits <= 32, f"FRI query index needs {bits} bits (> 32)"
+        return bits
 
     @property
     def n_final_challenges(self) -> int:
