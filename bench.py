@@ -1,14 +1,22 @@
 """Benchmark entry point (driver runs this on real TPU hardware).
 
-Round-1 metric: additive-NTT Reed-Solomon encoding throughput (the prover's
+Primary metric: additive-NTT Reed-Solomon encoding throughput (the prover's
 commit-phase hot loop, reference `crates/ntt/` + `reed_solomon/`): B32
 elements transformed per second at log_y=18 with an interleaved batch of 4
-(2^20 total elements per transform).
+(2^20 total elements per transform). The `extra` field carries the other
+driver-contract metrics: B128 multiply throughput (bitsliced VPU path) and
+end-to-end u32_add prove time at 2^10 rows.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+
+Timing discipline (hard-won): over the axon relay `block_until_ready` does
+not wait for real execution and identical dispatches are memoized, so every
+iteration chains through the previous output and completion is forced with a
+device-to-host fetch.
 """
 
 import json
+import signal
 import sys
 import time
 import os
@@ -22,7 +30,20 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/binius_tpu_jax_cache_tpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
-def main():
+def timeit(fn, x, iters):
+    """Warm + time fn by chaining the output back as input (fresh args per
+    dispatch defeats the relay's memoization); a host fetch of one element
+    forces completion (block_until_ready is unreliable over the tunnel)."""
+    out = fn(x)
+    np.asarray(jax.device_get(out.reshape(-1)[:1]))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(out)
+    np.asarray(jax.device_get(out.reshape(-1)[:1]))
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_ntt():
     from binius_tpu.fields import tower
     from binius_tpu.ntt.additive_ntt import AdditiveNTT, NTTDomain
 
@@ -30,24 +51,90 @@ def main():
     n = 1 << (log_x + log_y)
     ntt = AdditiveNTT(NTTDomain.create(5, log_y))
     rng = np.random.default_rng(7)
-    data = tower.from_numpy(5, rng.integers(0, 2**32, size=n, dtype=np.uint32))
+    data = jax.device_put(
+        tower.from_numpy(5, rng.integers(0, 2**32, size=n, dtype=np.uint32)))
+    dt = timeit(lambda x: ntt.forward(x, 5, (log_x, log_y, 0)), data, iters=10)
+    return n / dt / 1e6
 
-    out = ntt.forward(data, 5, (log_x, log_y, 0))
-    out.block_until_ready()
 
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = ntt.forward(data, 5, (log_x, log_y, 0))
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
+def bench_b128_mul():
+    from binius_tpu.fields import bitslice, tower
 
-    value = n / dt / 1e6
+    n = 1 << 20
+    rng = np.random.default_rng(1)
+    a = jax.device_put(tower.from_numpy(
+        7, rng.integers(0, 2**32, size=(n, 4), dtype=np.uint32)))
+    b = jax.device_put(tower.from_numpy(
+        7, rng.integers(0, 2**32, size=(n, 4), dtype=np.uint32)))
+    dt = timeit(lambda x: bitslice.mul(7, x, b), a, iters=10)
+    return n / dt / 1e6
+
+
+def bench_prove(budget_s=420):
+    """End-to-end constraint-system prove+verify (u32_add, 2^10 rows).
+
+    Cold TPU compiles can dominate; bounded by SIGALRM so one slow compile
+    service day cannot sink the whole bench run.
+    """
+    def _alarm(signum, frame):
+        raise TimeoutError
+
+    old = signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(budget_s)
+    try:
+        import random
+
+        from binius_tpu.constraint_system import prove as csp
+        from binius_tpu.m3.builder.table import M3ConstraintSystem
+        from binius_tpu.m3.builder.witness import WitnessIndex
+        from binius_tpu.m3.gadgets import arith
+
+        log_n = 10
+        n = 1 << log_n
+        m3 = M3ConstraintSystem()
+        t = m3.add_table("u32add")
+        xin = t.add_committed("xin", 0, arith.LOG_U32)
+        yin = t.add_committed("yin", 0, arith.LOG_U32)
+        adder = arith.U32Add.build(t, "add", xin, yin)
+        core, omap = m3.compile([log_n])
+
+        rng = random.Random(3)
+        wi = WitnessIndex(m3, [log_n])
+        tw = wi.table(0)
+        xs = [rng.getrandbits(32) for _ in range(n)]
+        ys = [rng.getrandbits(32) for _ in range(n)]
+        tw.set_packed_ints(xin, xs)
+        tw.set_packed_ints(yin, ys)
+        adder.populate(tw, xs, ys)
+        witness = wi.to_core_witness(core, omap)
+
+        csp.prove(core, witness, log_inv_rate=1)  # warm the kernels
+        t0 = time.perf_counter()
+        proof = csp.prove(core, witness, log_inv_rate=1)
+        dt = time.perf_counter() - t0
+        csp.verify(core, proof, log_inv_rate=1)
+        return dt * 1e3
+    except Exception:
+        return None
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
+def main():
+    ntt = bench_ntt()
+    b128 = bench_b128_mul()
+    prove_ms = bench_prove()
     print(json.dumps({
         "metric": "additive_ntt_b32_encode_throughput",
-        "value": round(value, 2),
+        "value": round(ntt, 2),
         "unit": "Melem/s",
         "vs_baseline": None,
+        "extra": {
+            "b128_mul_bitslice_Melem_s": round(b128, 2),
+            "u32_add_prove_2e10_warm_ms": (
+                round(prove_ms, 1) if prove_ms is not None else None),
+        },
     }))
 
 

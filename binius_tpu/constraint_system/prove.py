@@ -22,6 +22,7 @@ import time
 
 from ..fields import scalar, tower
 from ..math.arith import CompositionPoly
+from ..parallel import mesh as mesh_mod
 from ..protocols import evalcheck, gkr_gpa, ring_switch
 from ..protocols import fri as fri_mod
 from ..protocols import piop
@@ -228,13 +229,20 @@ def _gpa_instances(system: ConstraintSystem, flush_oracles):
 
 
 def prove(system: ConstraintSystem, witness: dict, boundaries: list = (),
-          log_inv_rate: int = 1, table_sizes: list = None) -> bytes:
+          log_inv_rate: int = 1, table_sizes: list = None, mesh=None) -> bytes:
     """witness: oracle id -> (level, device data) for committed and virtual
     oracles (prover materializes virtual columns during witness generation).
 
     table_sizes: optional per-table row counts, written to the transcript as
     the proof's first message (`prove.rs:177`); the M3 verifier reads them
-    back to instantiate step-down masks (`m3/builder/statement.py`)."""
+    back to instantiate step-down masks (`m3/builder/statement.py`).
+
+    mesh: optional 1-D `jax.sharding.Mesh` (`parallel.mesh.make_mesh()`).
+    Every witness column's element axis is sharded over it, and all device
+    kernels — commit NTT, zerocheck round evals, folds, FRI folds — run SPMD
+    under GSPMD with collectives on the mesh axis. Field ops are exact, so
+    proof bytes are identical with and without a mesh
+    (tests/test_sharding.py)."""
     timer = _PhaseTimer("prove")
     transcript = ProverTranscript()
     transcript.observe().write_bytes(system.digest())
@@ -249,6 +257,9 @@ def prove(system: ConstraintSystem, witness: dict, boundaries: list = (),
                               system.flushes, system.n_channels,
                               system.non_zero_claims, system.exponents)
     witness = dict(witness)
+    if mesh is not None:
+        witness = {oid: (lvl, mesh_mod.put_row_sharded(mesh, lvl, data))
+                   for oid, (lvl, data) in witness.items()}
 
     # --- commit phase ---
     timer.phase("commit")

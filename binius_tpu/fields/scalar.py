@@ -168,8 +168,10 @@ def _m128(a, b, m8):
     return (z0 ^ z2) | ((z1 ^ _a64(z2)) << 64)
 
 
-def mul(level: int, a: int, b: int) -> int:
-    """Tower multiplication (fast host path; defined by _mul_recursive)."""
+def mul_py(level: int, a: int, b: int) -> int:
+    """Tower multiplication (pure-Python host path; defined by
+    _mul_recursive). Retained as the semantic ground truth that the native C
+    kernel and every device kernel are tested against."""
     if _MUL8 is None:
         _init_fast_tables()
     if level <= 3:
@@ -183,18 +185,18 @@ def mul(level: int, a: int, b: int) -> int:
     return _m128(a, b, _MUL8)
 
 
-def square(level: int, a: int) -> int:
+def square_py(level: int, a: int) -> int:
     if level == 0:
         return a
     h = bits(level - 1)
     a0 = a & _half_mask(level)
     a1 = a >> h
-    s0 = square(level - 1, a0)
-    s1 = square(level - 1, a1)
+    s0 = square_py(level - 1, a0)
+    s1 = square_py(level - 1, a1)
     return (s0 ^ s1) | (mul_alpha(level - 1, s1) << h)
 
 
-def invert(level: int, a: int) -> int:
+def invert_py(level: int, a: int) -> int:
     """Tower inversion via the norm map; invert(0) = identity.
 
     For a = a0 + a1*X_k, with d = a0^2 + a0*a1*X_{k-1} + a1^2:
@@ -208,23 +210,70 @@ def invert(level: int, a: int) -> int:
     a0 = a & _half_mask(level)
     a1 = a >> h
     if a1 == 0:
-        return invert(level - 1, a0)
-    d = square(level - 1, a0) ^ mul_alpha(level - 1, mul(level - 1, a0, a1)) ^ square(level - 1, a1)
-    dinv = invert(level - 1, d)
-    b0 = mul(level - 1, a0 ^ mul_alpha(level - 1, a1), dinv)
-    b1 = mul(level - 1, a1, dinv)
+        return invert_py(level - 1, a0)
+    d = square_py(level - 1, a0) ^ mul_alpha(level - 1, mul_py(level - 1, a0, a1)) ^ square_py(level - 1, a1)
+    dinv = invert_py(level - 1, d)
+    b0 = mul_py(level - 1, a0 ^ mul_alpha(level - 1, a1), dinv)
+    b1 = mul_py(level - 1, a1, dinv)
     return b0 | (b1 << h)
 
 
-def pow(level: int, a: int, e: int) -> int:  # noqa: A001 - matches field vocab
+def pow_py(level: int, a: int, e: int) -> int:
     r = 1
     base = a
     while e:
         if e & 1:
-            r = mul(level, r, base)
-        base = square(level, base)
+            r = mul_py(level, r, base)
+        base = square_py(level, base)
         e >>= 1
     return r
+
+
+# -- native C dispatch (host hot path; see ../native/b128.c) ----------------
+# The verifier/transcript orchestration does millions of scalar muls; the
+# reference runs them in native Rust. BINIUS_NO_NATIVE=1 forces pure Python.
+
+_M64 = (1 << 64) - 1
+
+
+def _make_native_ops():
+    import ctypes
+
+    from .. import native as native_mod
+
+    lib = native_mod.get_lib()
+    if lib is None:
+        return None
+    out = (ctypes.c_uint64 * 2)()
+
+    def n_mul(level: int, a: int, b: int) -> int:
+        lib.tower_mul(level, a & _M64, a >> 64, b & _M64, b >> 64, out)
+        return out[0] | (out[1] << 64)
+
+    def n_square(level: int, a: int) -> int:
+        lib.tower_square(level, a & _M64, a >> 64, out)
+        return out[0] | (out[1] << 64)
+
+    def n_invert(level: int, a: int) -> int:
+        if a == 0:
+            raise ZeroDivisionError("inversion of zero field element")
+        lib.tower_invert(level, a & _M64, a >> 64, out)
+        return out[0] | (out[1] << 64)
+
+    def n_pow(level: int, a: int, e: int) -> int:
+        if e >> 64:
+            return pow_py(level, a, e)
+        lib.tower_pow(level, a & _M64, a >> 64, e, out)
+        return out[0] | (out[1] << 64)
+
+    return n_mul, n_square, n_invert, n_pow
+
+
+_native_ops = _make_native_ops()
+if _native_ops is not None:
+    mul, square, invert, pow = _native_ops  # noqa: A001
+else:
+    mul, square, invert, pow = mul_py, square_py, invert_py, pow_py  # noqa: A001
 
 
 def multiplicative_order(level: int, a: int) -> int:

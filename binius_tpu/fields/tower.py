@@ -114,11 +114,40 @@ def add(level: int, a, b):
     return jnp.bitwise_xor(a, b)
 
 
-def xor_reduce(a, axis):
-    """XOR-reduction (field sum) along the given axis/axes."""
+def xor_reduce(a, axis, spmd: bool = False):
+    """XOR-reduction (field sum) along the given axis/axes.
+
+    spmd=True lowers to a halving tree of elementwise XORs instead of a
+    `lax.reduce` with a custom computation: GSPMD cannot partition custom
+    reduction computations (UNIMPLEMENTED at compile time when the reduced
+    axis is sharded over a mesh), but it partitions slices and elementwise
+    ops natively. Kernels that may run on mesh-sharded operands thread this
+    flag through as a static jit argument.
+    """
     axes = (axis,) if isinstance(axis, int) else tuple(axis)
     axes = tuple(ax if ax >= 0 else a.ndim + ax for ax in axes)
-    return jax.lax.reduce(a, np.uint32(0), jax.lax.bitwise_xor, axes)
+    if not spmd:
+        return jax.lax.reduce(a, np.uint32(0), jax.lax.bitwise_xor, axes)
+    for ax in sorted(axes, reverse=True):
+        a = _xor_reduce_tree(a, ax)
+    return a
+
+
+def _xor_reduce_tree(a, ax: int):
+    n = a.shape[ax]
+    if n == 0:
+        return jnp.zeros(a.shape[:ax] + a.shape[ax + 1:], dtype=a.dtype)
+    p = 1 << max(0, (n - 1).bit_length())
+    if p != n:  # zero padding is the XOR identity
+        pads = [(0, 0, 0)] * a.ndim
+        pads[ax] = (0, p - n, 0)
+        a = jax.lax.pad(a, np.zeros((), dtype=a.dtype)[()], pads)
+    while p > 1:
+        h = p // 2
+        a = jnp.bitwise_xor(jax.lax.slice_in_dim(a, 0, h, axis=ax),
+                            jax.lax.slice_in_dim(a, h, p, axis=ax))
+        p = h
+    return jax.lax.squeeze(a, (ax,))
 
 
 def sum_elems(level: int, a, axis: int = 0):
@@ -376,13 +405,13 @@ def pack_b1(bits_arr):
 # Inner products / linear maps
 # ---------------------------------------------------------------------------
 
-def inner_product(level: int, a, b, axis: int = -1):
+def inner_product(level: int, a, b, axis: int = -1, spmd: bool = False):
     """Field dot product along a batch axis: sum_i a_i * b_i."""
     p = mul(level, a, b)
     if has_limb_dim(level):
         ax = axis if axis >= 0 else axis - 1
-        return xor_reduce(p, ax)
-    return xor_reduce(p, axis)
+        return xor_reduce(p, ax, spmd=spmd)
+    return xor_reduce(p, axis, spmd=spmd)
 
 
 def _jit_static0(fn):
@@ -396,7 +425,8 @@ mul = _jit_static0(mul)
 square = _jit_static0(square)
 invert = _jit_static0(invert)
 mul_alpha = _jit_static0(mul_alpha)
-inner_product = jax.jit(inner_product, static_argnums=(0, 3), static_argnames=("axis",))
+inner_product = jax.jit(inner_product, static_argnums=(0, 3, 4),
+                        static_argnames=("axis", "spmd"))
 
 
 def apply_bitmatrix(level: int, cols, x):

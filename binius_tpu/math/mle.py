@@ -19,6 +19,20 @@ import jax.numpy as jnp
 from ..fields import tower
 
 
+def _mesh_align(data, aux, spmd: bool):
+    """Kernel-operand alignment for mesh-sharded multilinears: if `data` is
+    committed to >1 device, replicate `aux` (an eq expansion / coefficient
+    vector) onto the same mesh and force the SPMD-safe reduction lowering.
+    Centralized here so every evalcheck/ring-switch/zerocheck call site gets
+    multi-chip support without threading placement logic around."""
+    from ..parallel import mesh as mesh_mod
+    if mesh_mod.is_mesh_sharded(data):
+        m = mesh_mod.mesh_of(data)
+        if m is not None:
+            return mesh_mod.put_replicated(m, aux), True
+    return aux, spmd
+
+
 @dataclasses.dataclass(frozen=True)
 class MLE:
     """Multilinear extension: 2^n_vars evaluations of a T_level polynomial."""
@@ -61,40 +75,49 @@ def _promote(level_a: int, a, level_b: int, b):
     return level_a, a, tower.embed(level_b, level_a, b)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3, 5))
-def _partial_low_data(level: int, data, n_vars: int, q_level: int, q_expansion, k: int):
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 5, 6))
+def _partial_low_data(level: int, data, n_vars: int, q_level: int, q_expansion, k: int,
+                      spmd: bool = False):
     out_level, d, e = _promote(level, data, q_level, q_expansion)
     d = d.reshape(tower.elem_shape(out_level, (1 << (n_vars - k), 1 << k)))
-    return tower.inner_product(out_level, d, e, axis=1)
+    return tower.inner_product(out_level, d, e, axis=1, spmd=spmd)
 
 
-def evaluate_partial_low(level: int, data, n_vars: int, q_level: int, q_expansion, k: int):
+def evaluate_partial_low(level: int, data, n_vars: int, q_level: int, q_expansion, k: int,
+                         spmd: bool = False):
     """Bind the k lowest variables to a query (given as its eq expansion).
 
     out[j] = sum_{i < 2^k} E[i] * data[(j << k) | i].
     Returns (out_level, out_data) with 2^(n_vars-k) entries.
     """
-    return max(level, q_level), _partial_low_data(level, data, n_vars, q_level, q_expansion, k)
+    q_expansion, spmd = _mesh_align(data, q_expansion, spmd)
+    return max(level, q_level), _partial_low_data(level, data, n_vars, q_level,
+                                                  q_expansion, k, spmd)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3, 5))
-def _partial_high_data(level: int, data, n_vars: int, q_level: int, q_expansion, k: int):
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 5, 6))
+def _partial_high_data(level: int, data, n_vars: int, q_level: int, q_expansion, k: int,
+                       spmd: bool = False):
     out_level, d, e = _promote(level, data, q_level, q_expansion)
     d = d.reshape(tower.elem_shape(out_level, (1 << k, 1 << (n_vars - k))))
     if tower.has_limb_dim(out_level):
         e = e[:, None, :]
     else:
         e = e[:, None]
-    return tower.inner_product(out_level, d, e, axis=0)
+    return tower.inner_product(out_level, d, e, axis=0, spmd=spmd)
 
 
-def evaluate_partial_high(level: int, data, n_vars: int, q_level: int, q_expansion, k: int):
+def evaluate_partial_high(level: int, data, n_vars: int, q_level: int, q_expansion, k: int,
+                          spmd: bool = False):
     """Bind the k highest variables: out[i] = sum_j E[j] * data[(j << (n-k)) | i]."""
-    return max(level, q_level), _partial_high_data(level, data, n_vars, q_level, q_expansion, k)
+    q_expansion, spmd = _mesh_align(data, q_expansion, spmd)
+    return max(level, q_level), _partial_high_data(level, data, n_vars, q_level,
+                                                   q_expansion, k, spmd)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 4))
-def _batched_partial_high_data(level: int, stack, n_vars: int, eq, keep: int):
+@functools.partial(jax.jit, static_argnums=(0, 2, 4, 5))
+def _batched_partial_high_data(level: int, stack, n_vars: int, eq, keep: int,
+                               spmd: bool = False):
     """Batched partial-high eval: stack holds k same-shaped multilinears.
 
     stack: (k, 2^n_vars [, limbs]) at `level`; eq: (2^(n_vars-keep), limbs)
@@ -110,7 +133,7 @@ def _batched_partial_high_data(level: int, stack, n_vars: int, eq, keep: int):
     else:
         de = tower.embed(level, 7, d)
         p = tower.mul(7, de, e)
-    return tower.xor_reduce(p, axis=1)
+    return tower.xor_reduce(p, axis=1, spmd=spmd)
 
 
 def _pad_stack_pow2(stack):
@@ -124,15 +147,18 @@ def _pad_stack_pow2(stack):
     return jnp.pad(stack, pad), k
 
 
-def batched_evaluate_partial_high(level: int, stack, n_vars: int, eq, keep: int):
+def batched_evaluate_partial_high(level: int, stack, n_vars: int, eq, keep: int,
+                                  spmd: bool = False):
     """Bind the high n_vars-keep variables of k stacked multilinears to a
     B128 query given as its eq expansion; see `_batched_partial_high_data`."""
     stack, k = _pad_stack_pow2(stack)
-    return 7, _batched_partial_high_data(level, stack, n_vars, eq, keep)[:k]
+    eq, spmd = _mesh_align(stack, eq, spmd)
+    return 7, _batched_partial_high_data(level, stack, n_vars, eq, keep, spmd)[:k]
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 4))
-def _batched_partial_low_data(level: int, stack, n_vars: int, coeffs, bind: int):
+@functools.partial(jax.jit, static_argnums=(0, 2, 4, 5))
+def _batched_partial_low_data(level: int, stack, n_vars: int, coeffs, bind: int,
+                              spmd: bool = False):
     """Batched partial-low eval with an arbitrary B128 coefficient vector.
 
     stack: (k, 2^n_vars [, limbs]) at `level`; coeffs: (2^bind, limbs) B128.
@@ -149,14 +175,16 @@ def _batched_partial_low_data(level: int, stack, n_vars: int, coeffs, bind: int)
     else:
         de = tower.embed(level, 7, d)
         p = tower.mul(7, de, e)
-    return tower.xor_reduce(p, axis=2)
+    return tower.xor_reduce(p, axis=2, spmd=spmd)
 
 
-def batched_evaluate_partial_low(level: int, stack, n_vars: int, coeffs, bind: int):
+def batched_evaluate_partial_low(level: int, stack, n_vars: int, coeffs, bind: int,
+                                 spmd: bool = False):
     """Bind the low `bind` variables of k stacked multilinears with a B128
     coefficient vector (eq expansion or Lagrange coefficients)."""
     stack, k = _pad_stack_pow2(stack)
-    return 7, _batched_partial_low_data(level, stack, n_vars, coeffs, bind)[:k]
+    coeffs, spmd = _mesh_align(stack, coeffs, spmd)
+    return 7, _batched_partial_low_data(level, stack, n_vars, coeffs, bind, spmd)[:k]
 
 
 def evaluate(level: int, data, n_vars: int, q_level: int, point):

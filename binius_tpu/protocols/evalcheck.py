@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from ..constraint_system import oracle as om
 from ..fields import scalar, tower
+from ..parallel import mesh as mesh_mod
 from ..math import mle
 from ..math.arith import bivariate_product
 from . import shift_ind
@@ -259,6 +260,10 @@ class _Walker:
                 mult_rows[i] = tower.from_ints(LEVEL, _tower_basis_values(
                     self.oracles[e.oracle.inner[0]].tower_level, b))
         ind_all = jnp.stack(mult_rows, axis=0)
+        if mesh_mod.is_mesh_sharded(proj_all):
+            m = mesh_mod.mesh_of(proj_all)
+            if m is not None:
+                ind_all = mesh_mod.put_replicated(m, ind_all)
         return jnp.stack([proj_all, ind_all], axis=1).reshape(2 * k, 1 << b, 4)
 
     def _run_sumcheck_batch(self, shift_entries, composite_entries) -> list[EvalcheckClaim]:

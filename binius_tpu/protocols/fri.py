@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..fields import scalar, tower
+from ..parallel import mesh as mesh_mod
 from ..math import mle
 from ..merkle.tree import MerkleTree, hash_leaves, verify_branch_to_layer
 from ..ntt.additive_ntt import AdditiveNTT, NTTDomain
@@ -164,12 +165,13 @@ def _fold_twiddle_arrays(domain: NTTDomain, log_code_len: int, n_folds: int):
     return tuple(tws)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def _fold_interleaved_jit(codeword, log_len: int, log_batch: int, tensor, fold_rs, tws):
+@functools.partial(jax.jit, static_argnums=(1, 2, 6))
+def _fold_interleaved_jit(codeword, log_len: int, log_batch: int, tensor, fold_rs, tws,
+                          spmd: bool = False):
     d = codeword
     if log_batch:
         d = d.reshape(tower.elem_shape(LEVEL, (1 << log_len, 1 << log_batch)))
-        d = tower.inner_product(LEVEL, d, tensor, axis=1)
+        d = tower.inner_product(LEVEL, d, tensor, axis=1, spmd=spmd)
     L = log_len
     for r, tw in zip(fold_rs, tws):
         pairs = d.reshape(tower.elem_shape(LEVEL, (1 << (L - 1), 2)))
@@ -192,7 +194,15 @@ def fold_interleaved(domain: NTTDomain, codeword, challenges: list[int],
               if log_batch else tower.zeros(LEVEL, (1,)))
     tws = _fold_twiddle_arrays(domain, log_len, len(folds))
     fold_rs = tuple(tower.from_ints(LEVEL, [c])[0] for c in folds)
-    return _fold_interleaved_jit(codeword, log_len, log_batch, tensor, fold_rs, tws)
+    spmd = False
+    if mesh_mod.is_mesh_sharded(codeword):
+        m = mesh_mod.mesh_of(codeword)
+        if m is not None:
+            spmd = True
+            tensor = mesh_mod.put_replicated(m, tensor)
+            fold_rs = tuple(mesh_mod.put_replicated(m, r) for r in fold_rs)
+    return _fold_interleaved_jit(codeword, log_len, log_batch, tensor, fold_rs, tws,
+                                 spmd)
 
 
 def fold_pair_scalar(domain: NTTDomain, log_len: int, index: int, u: int, v: int, r: int) -> int:

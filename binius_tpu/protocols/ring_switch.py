@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..fields import scalar, tower
+from ..parallel import mesh as mesh_mod
 from ..math import mle
 from .piop import PIOPSumcheckClaim
 from .sumcheck.common import LEVEL
@@ -293,11 +294,13 @@ def prove(claims: list[RingSwitchEvalClaim], witnesses: list, transcript) -> Red
                     reps = [1] * stack.ndim
                     reps[1] = 1 << (kappa - wit_n)
                     stack = jnp.tile(stack, reps)
-                _, t = 7, tower.embed(lvl, LEVEL, stack)
+                _, t = 7, mesh_mod.pull_local(tower.embed(lvl, LEVEL, stack))
             else:
                 _, t = mle.batched_evaluate_partial_high(
                     lvl, stack, nv, eq_of(suffix), kappa)
-            chunks.append(t)
+            # per-claim tensor elements are tiny (k, 2^kappa, 4); leave the
+            # mesh here so the mixing/fold tail stays single-device
+            chunks.append(mesh_mod.pull_local(t))
             order.extend(poss)
         inv = [0] * len(idxs)
         for p2, p in enumerate(order):

@@ -29,6 +29,7 @@ import numpy as np
 
 from ...fields import scalar, tower
 from ...math import fold, mle
+from ...parallel import mesh as mesh_mod
 from ...math.univariate import EvaluationDomain
 from . import common
 from .common import LEVEL, SumcheckClaim
@@ -58,9 +59,9 @@ def _mask01(shape_len: int, active, extra_dims: int):
     return m
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 5))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 5, 7))
 def _round_values_jit(comps: tuple, levels: tuple, log_padded: int, order_high: bool,
-                      mls: tuple, points: tuple, active):
+                      mls: tuple, points: tuple, active, spmd: bool = False):
     """Values of each composite round polynomial at each domain point, with
     the active prefix length `active` (traced) masked into the reduction.
 
@@ -96,7 +97,7 @@ def _round_values_jit(comps: tuple, levels: tuple, log_padded: int, order_high: 
                 rows = [fold.extrapolate_line(LEVEL, h[0], h[1], xc) for h in halves]
             v = comp.evaluate(LEVEL, rows)
             v = jnp.where(mask.astype(bool), v, jnp.zeros_like(v))
-            out_rows.append(tower.xor_reduce(v, axis=0))
+            out_rows.append(tower.xor_reduce(v, axis=0, spmd=spmd))
     return jnp.stack(out_rows)
 
 
@@ -140,7 +141,18 @@ class RegularSumcheckProver:
         self.eq_ind_challenges = eq_ind_challenges
         self.n_remaining = claim.n_vars
         self.log_padded = max(_bucket_log(claim.n_vars), 1) if claim.n_vars else 0
-        self.mls = [(lvl, _pad_to(lvl, d, self.log_padded)) for lvl, d in multilinears]
+        self.mesh = next((mesh_mod.mesh_of(d) for _, d in multilinears
+                          if mesh_mod.is_mesh_sharded(d)), None)
+        self.spmd = self.mesh is not None
+        if self.spmd:
+            # all kernel operands must live on the mesh (mixed placements are
+            # an error); large element axes shard, the rest replicate
+            self.mls = [(lvl, mesh_mod.put_row_sharded(
+                self.mesh, lvl, _pad_to(lvl, d, self.log_padded)))
+                for lvl, d in multilinears]
+        else:
+            self.mls = [(lvl, _pad_to(lvl, d, self.log_padded))
+                        for lvl, d in multilinears]
         deg = claim.max_individual_degree()
         self.domain = EvaluationDomain.from_subspace(3, deg + 1)
         # Pre-compact each composition to the multilinears it actually uses:
@@ -167,7 +179,8 @@ class RegularSumcheckProver:
             levels = tuple(self.mls[v][0] for v in used)
             datas = tuple(self.mls[v][1] for v in used)
             results.append(_round_values_jit((cexpr,), levels, self.log_padded,
-                                             self.order_high, datas, pts, active))
+                                             self.order_high, datas, pts, active,
+                                             self.spmd))
         out = []
         for vals in results:
             flat = tower.to_ints(LEVEL, vals)
@@ -176,6 +189,8 @@ class RegularSumcheckProver:
 
     def fold(self, challenge: int) -> None:
         ch = tower.from_ints(LEVEL, [challenge])[0]
+        if self.spmd:
+            ch = mesh_mod.put_replicated(self.mesh, ch)
         active = jnp.uint32(1 << self.n_remaining)
         new = []
         for lvl, data in self.mls:
@@ -201,9 +216,9 @@ class RegularSumcheckProver:
         return out
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
+@functools.partial(jax.jit, static_argnums=(0, 1, 6))
 def _biv_round_values_jit(log_padded: int, order_high: bool, stack, idx_a, idx_b,
-                          active):
+                          active, spmd: bool = False):
     """Bivariate-product round values: stack [m, padded, limbs]; idx_a/idx_b
     [n_comps] traced row indices. Returns (3 * n_comps, 4): values at
     X = 0, 1, 2 grouped per point."""
@@ -229,7 +244,7 @@ def _biv_round_values_jit(log_padded: int, order_high: bool, stack, idx_a, idx_b
         b = jnp.take(e, idx_b, axis=0)
         prod = tower.mul(LEVEL, a, b)
         prod = jnp.where(mask.astype(bool), prod, jnp.zeros_like(prod))
-        rows.append(tower.xor_reduce(prod, axis=1))  # (n_comps, 4)
+        rows.append(tower.xor_reduce(prod, axis=1, spmd=spmd))  # (n_comps, 4)
     return jnp.concatenate(rows, axis=0)
 
 
@@ -264,11 +279,17 @@ class BivariateSumcheckProver:
         self.order_high = order_high
         self.n_remaining = claim.n_vars
         self.log_padded = max(_bucket_log(claim.n_vars), 1) if claim.n_vars else 0
+        self.mesh = next((mesh_mod.mesh_of(d) for _, d in multilinears
+                          if mesh_mod.is_mesh_sharded(d)), None)
+        self.spmd = self.mesh is not None
         cols = []
         for lvl, d in multilinears:
             if lvl < LEVEL:
                 d = tower.embed(lvl, LEVEL, d)
-            cols.append(_pad_to(LEVEL, d, self.log_padded))
+            d = _pad_to(LEVEL, d, self.log_padded)
+            if self.spmd:
+                d = mesh_mod.put_row_sharded(self.mesh, LEVEL, d)
+            cols.append(d)
         self.stack = jnp.stack(cols, axis=0)  # (m, padded, 4)
         idx_a, idx_b = [], []
         for cs in claim.composite_sums:
@@ -290,7 +311,7 @@ class BivariateSumcheckProver:
             return []
         active = jnp.uint32(1 << self.n_remaining)
         vals = _biv_round_values_jit(self.log_padded, self.order_high, self.stack,
-                                     self.idx_a, self.idx_b, active)
+                                     self.idx_a, self.idx_b, active, self.spmd)
         n_c = len(self.claim.composite_sums)
         flat3 = np.asarray(jax.device_get(vals)).reshape(3, n_c, 4)
         out = []
@@ -302,6 +323,8 @@ class BivariateSumcheckProver:
 
     def fold(self, challenge: int) -> None:
         ch = tower.from_ints(LEVEL, [challenge])[0]
+        if self.spmd:
+            ch = mesh_mod.put_replicated(self.mesh, ch)
         active = jnp.uint32(1 << self.n_remaining)
         self.stack = _biv_fold_jit(self.log_padded, self.order_high, self.stack,
                                    ch, active)
@@ -334,15 +357,15 @@ def _interp_matrix_np(points: tuple) -> np.ndarray:
     return w
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
+@functools.partial(jax.jit, static_argnums=(0, 1, 7))
 def _biv_round_coeffs_jit(log_padded: int, order_high: bool, stack, idx_a, idx_b,
-                          active, interp):
+                          active, interp, spmd: bool = False):
     """Per-claim round-polynomial coefficients with on-device interpolation.
 
     stack [m, padded, 4]; interp (3, 3, 4) B128. Returns (n_coeffs, n_c, 4).
     """
     vals = _biv_round_values_jit.__wrapped__(log_padded, order_high, stack,
-                                             idx_a, idx_b, active)
+                                             idx_a, idx_b, active, spmd)
     n_c = idx_a.shape[0]
     v = vals.reshape(3, n_c, 4)
     prod = tower.mul(LEVEL, interp[:, :, None, :], v[None, :, :, :])
@@ -376,6 +399,8 @@ class BatchedBivariateSumcheckProver:
         self.order_high = order_high
         self.n_remaining = nv
         self.log_padded = max(_bucket_log(nv), 1)
+        self.mesh = mesh_mod.mesh_of(pair_stack) if mesh_mod.is_mesh_sharded(pair_stack) else None
+        self.spmd = self.mesh is not None
         k2 = pair_stack.shape[0]
         assert k2 == 2 * self.n_claims
         # Pad the claim count to a power of two so the jitted round/fold
@@ -400,7 +425,8 @@ class BatchedBivariateSumcheckProver:
         active = jnp.uint32(1 << self.n_remaining)
         interp = jnp.asarray(_interp_matrix_np(self.domain.points))
         coeffs = _biv_round_coeffs_jit(self.log_padded, self.order_high, self.stack,
-                                       self.idx_a, self.idx_b, active, interp)
+                                       self.idx_a, self.idx_b, active, interp,
+                                       self.spmd)
         flat = np.asarray(jax.device_get(coeffs))[:, :self.n_claims]  # (3, n_c, 4)
         out = []
         for ci in range(self.n_claims):
@@ -410,6 +436,8 @@ class BatchedBivariateSumcheckProver:
 
     def fold(self, challenge: int) -> None:
         ch = tower.from_ints(LEVEL, [challenge])[0]
+        if self.spmd:
+            ch = mesh_mod.put_replicated(self.mesh, ch)
         active = jnp.uint32(1 << self.n_remaining)
         self.stack = _biv_fold_jit(self.log_padded, self.order_high, self.stack,
                                    ch, active)

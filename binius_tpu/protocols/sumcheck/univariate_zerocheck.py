@@ -42,6 +42,7 @@ import jax.numpy as jnp
 
 from ...fields import tower
 from ...math import mle
+from ...parallel import mesh as mesh_mod
 from ...math.arith import ArithExpr, CompositionPoly
 from ...math.univariate import lagrange_evals_device
 from ...ntt.additive_ntt import AdditiveNTT, NTTDomain
@@ -125,6 +126,9 @@ def _claim_round_evals(zc: ZerocheckClaim, mls: list, eq_pt: list[int],
         datas = datas + [jnp.zeros_like(datas[0])] * (m_pad - m)
     stack = jnp.stack(datas, axis=0)  # (m_pad, 2^n [, limbs])
     eq = mle.eq_ind_partial_eval(LEVEL, tower.from_ints(LEVEL, eq_pt))  # (2^(n-k), 4)
+    mesh = mesh_mod.mesh_of(stack) if mesh_mod.is_mesh_sharded(stack) else None
+    if mesh is not None:
+        eq = mesh_mod.put_row_sharded(mesh, LEVEL, eq)
 
     compact = tuple(_compact_compositions(zc))
     suffix = 1 << (n - k)
@@ -139,14 +143,14 @@ def _claim_round_evals(zc: ZerocheckClaim, mls: list, eq_pt: list[int],
         else:
             sub = stack[:, s0 << k:(s0 + chunk) << k]
         part = _uni_chunk_jit(data_level, k, n_cosets, dom_log, compact,
-                              sub, eq[s0:s0 + chunk])
+                              sub, eq[s0:s0 + chunk], mesh is not None)
         acc = part if acc is None else acc ^ part
     return acc
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 7))
 def _uni_chunk_jit(data_level: int, k: int, n_cosets: int, dom_log: int,
-                   compact: tuple, sub, eq_c):
+                   compact: tuple, sub, eq_c, spmd: bool = False):
     """One suffix chunk of the univariate round: NTT-extend every multilinear
     slice to cosets 1..n_cosets-1, evaluate compositions in the small field,
     weight by the eq indicator, XOR-reduce over the chunk.
@@ -172,7 +176,7 @@ def _uni_chunk_jit(data_level: int, k: int, n_cosets: int, dom_log: int,
         vals = cexpr.evaluate(data_level, [ext[u] for u in used])  # (chunk, P)
         vb = tower.embed(data_level, LEVEL, vals)                  # (chunk, P, 4)
         weighted = tower.mul(LEVEL, vb, eq_c[:, None, :])
-        out.append(tower.xor_reduce(weighted, axis=0))                # (P, 4)
+        out.append(tower.xor_reduce(weighted, axis=0, spmd=spmd))     # (P, 4)
     return jnp.stack(out, axis=0)
 
 
@@ -252,6 +256,12 @@ def batch_prove(zc_claims: list[ZerocheckClaim], mls_per_claim: list,
     batch_coeffs = [transcript.sample_scalar(LEVEL) for _ in zc_claims]
     r_claims = [_claim_round_evals(zc, mls, eq_pts[i], k, max_d, dom_log)
                 for i, (zc, mls) in enumerate(zip(zc_claims, mls_per_claim))]
+    mesh_on = any(mesh_mod.is_mesh_sharded(r) for r in r_claims)
+    if mesh_on:
+        # round evals are tiny; pull them off the mesh so the stage-1 mixing
+        # and everything downstream runs single-device (identical bytes)
+        import numpy as _np
+        r_claims = [jnp.asarray(_np.asarray(jax.device_get(r))) for r in r_claims]
     r_all = jnp.concatenate(r_claims, axis=0)  # (total_comps, P, 4)
     weights = _phi_power_weights(batch_coeffs, [len(zc.compositions) for zc in zc_claims])
     w_dev = tower.from_ints(LEVEL, weights)

@@ -133,3 +133,32 @@ def test_pow_int():
     a = rand_ints(5, 8)
     A = tower.from_ints(5, a)
     assert tower.to_ints(5, tower.pow_int(5, A, 7)) == [scalar.pow(5, v, 7) for v in a]
+
+
+def test_native_scalar_matches_python():
+    """The C host kernel (native/b128.c) against the pure-Python ground
+    truth, all levels, including inverse/pow round trips."""
+    import random as _r
+
+    from binius_tpu import native as native_mod
+    from binius_tpu.fields import scalar as sc
+
+    if native_mod.get_lib() is None:
+        import pytest
+        pytest.skip("no C compiler available")
+    rng = _r.Random(99)
+    ops = sc._make_native_ops()
+    n_mul, n_square, n_invert, n_pow = ops
+    for level in range(8):
+        nb = 1 << level
+        for _ in range(200):
+            a = rng.getrandbits(nb)
+            b = rng.getrandbits(nb)
+            assert n_mul(level, a, b) == sc.mul_py(level, a, b)
+            assert n_square(level, a) == sc.square_py(level, a)
+            if a:
+                inv = n_invert(level, a)
+                assert inv == sc.invert_py(level, a)
+                assert sc.mul_py(level, a, inv) == 1
+            e = rng.getrandbits(32)
+            assert n_pow(level, a, e) == sc.pow_py(level, a, e)

@@ -68,3 +68,74 @@ def test_sharded_xor_sum(mesh):
     for v in vals:
         want ^= v
     assert got == want
+
+
+def _u32_add_instance(log_n=5, seed=7):
+    from binius_tpu.m3.builder.table import M3ConstraintSystem
+    from binius_tpu.m3.builder.witness import WitnessIndex
+    from binius_tpu.m3.gadgets import arith
+
+    rng = random.Random(seed)
+    n = 1 << log_n
+    m3 = M3ConstraintSystem()
+    t = m3.add_table("u32add")
+    xin = t.add_committed("xin", 0, arith.LOG_U32)
+    yin = t.add_committed("yin", 0, arith.LOG_U32)
+    adder = arith.U32Add.build(t, "add", xin, yin)
+    core, omap = m3.compile([log_n])
+    wi = WitnessIndex(m3, [log_n])
+    tw = wi.table(0)
+    xs = [rng.getrandbits(32) for _ in range(n)]
+    ys = [rng.getrandbits(32) for _ in range(n)]
+    tw.set_packed_ints(xin, xs)
+    tw.set_packed_ints(yin, ys)
+    adder.populate(tw, xs, ys)
+    return core, wi.to_core_witness(core, omap)
+
+
+def test_prove_mesh_byte_equality(mesh):
+    """SURVEY §4's multi-node acceptance analog: the full constraint-system
+    prover produces IDENTICAL proof bytes on 1 device and on the 8-device
+    mesh (GSPMD partitioning is semantics-preserving; field ops are exact).
+    """
+    from binius_tpu.constraint_system import prove as csp
+    from binius_tpu.parallel import mesh as mesh_mod
+
+    core, witness = _u32_add_instance()
+    proof_local = csp.prove(core, witness, log_inv_rate=1)
+    proof_mesh = csp.prove(core, witness, log_inv_rate=1,
+                           mesh=mesh_mod.make_mesh(8))
+    assert proof_mesh == proof_local
+    csp.verify(core, proof_mesh, log_inv_rate=1)
+
+
+def test_prove_mesh_with_channels_byte_equality(mesh):
+    """Mesh equality on a circuit with flushes/channels (GPA phase): column
+    `a` pushes into channel 0, its permutation `b` pulls back out; columns
+    are 2^12 elements so the element axis genuinely shards 8 ways."""
+    from binius_tpu.constraint_system import oracle as om
+    from binius_tpu.constraint_system import prove as csp
+    from binius_tpu.constraint_system.system import (ConstraintSystem, Flush,
+                                                     PULL, PUSH)
+    from binius_tpu.parallel import mesh as mesh_mod
+
+    rng = random.Random(3)
+    n = 12
+    oracles = om.OracleSet()
+    a_id = oracles.add_committed(n, 5, "a")
+    b_id = oracles.add_committed(n, 5, "b")
+    a_vals = [rng.getrandbits(32) for _ in range(1 << n)]
+    b_vals = list(a_vals)
+    rng.shuffle(b_vals)
+    core = ConstraintSystem(
+        oracles, [],
+        flushes=[Flush(0, PUSH, (a_id,)), Flush(0, PULL, (b_id,))],
+        n_channels=1)
+    witness = {a_id: (5, tower.from_ints(5, a_vals)),
+               b_id: (5, tower.from_ints(5, b_vals))}
+
+    proof_local = csp.prove(core, witness, log_inv_rate=1)
+    proof_mesh = csp.prove(core, witness, log_inv_rate=1,
+                           mesh=mesh_mod.make_mesh(8))
+    assert proof_mesh == proof_local
+    csp.verify(core, proof_mesh, log_inv_rate=1)
