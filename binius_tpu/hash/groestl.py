@@ -295,6 +295,17 @@ def compress_pairs(pairs: np.ndarray, xp=np) -> np.ndarray:
     The Grøstl output transformation applied to the concatenated digests:
     trunc_256(P(a||b) ^ (a||b)) — exactly `Groestl256ByteCompression`
     (`crates/hash/src/groestl/compression.rs:24-36`, Matyas-Meyer-Oseas).
+    Small host batches route through the T-table integer path: the verifier
+    compresses one pair at a time per Merkle level, where numpy per-op
+    overhead is ~100x the work.
     """
+    if xp is np and pairs.ndim == 2 and pairs.shape[0] <= 8:
+        out = np.empty((pairs.shape[0], 32), dtype=np.uint8)
+        for i in range(pairs.shape[0]):
+            cols = _bytes_to_cols(pairs[i].tobytes())
+            x = _permute_cols(cols, False)
+            out[i] = np.frombuffer(
+                _cols_to_bytes([a ^ b for a, b in zip(x, cols)])[32:], dtype=np.uint8)
+        return out
     m = bytes_to_state(pairs)
     return state_to_bytes(_permute(m, False, xp) ^ m)[..., 32:]

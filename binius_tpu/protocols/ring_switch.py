@@ -32,8 +32,17 @@ from .sumcheck.common import LEVEL
 
 
 # ---------------------------------------------------------------------------
-# Tensor algebra over (B_l, B128), host ints
+# Tensor algebra over (B_l, B128): numpy coordinate matrices + the native
+# batch field kernel. This is the verifier's hottest host path (the PIOP
+# transparent checks call ring_switch_eq_ind_eval per claim); the original
+# per-coordinate Python-int version spent 73 of 91 s of a keccak-2^3 verify
+# in `transpose`.
 # ---------------------------------------------------------------------------
+
+import numpy as np
+
+_M64 = (1 << 64) - 1
+
 
 def coord(level: int, e: int, j: int) -> int:
     """j-th B_level coordinate of a B128 element (basis = bit slices)."""
@@ -49,12 +58,81 @@ def from_coords(level: int, coords: list[int]) -> int:
     return out
 
 
-@dataclasses.dataclass
-class TensorAlgElem:
-    """2^kappa vertical B128 elements; kappa = 7 - level."""
+def _ints_to_pairs(elems: list) -> np.ndarray:
+    m = np.empty((len(elems), 2), dtype=np.uint64)
+    for i, e in enumerate(elems):
+        m[i, 0] = e & _M64
+        m[i, 1] = e >> 64
+    return m
 
-    level: int
-    elems: list  # list[int], length 2^(7-level)
+
+def _pairs_to_ints(m: np.ndarray) -> list:
+    return [int(m[i, 0]) | (int(m[i, 1]) << 64) for i in range(m.shape[0])]
+
+
+@functools.lru_cache(maxsize=None)
+def _coord_layout(level: int):
+    """(limb, offset, mask) arrays for the k = 2^(7-level) coordinates."""
+    w = 1 << level
+    k = 128 // w
+    js = np.arange(k, dtype=np.uint64)
+    limb = ((js * w) // 64).astype(np.int64)
+    off = ((js * w) % 64).astype(np.uint64)
+    mask = np.uint64(_M64 if w == 64 else (1 << w) - 1)
+    return limb, off, mask
+
+
+def _to_coords(level: int, m: np.ndarray) -> np.ndarray:
+    """(k, 2) uint64 pairs -> (k, k) coordinate matrix C[i, j]."""
+    limb, off, mask = _coord_layout(level)
+    return (m[:, limb] >> off[None, :]) & mask
+
+
+def _from_coords_np(level: int, C: np.ndarray) -> np.ndarray:
+    """(k, k) coordinate matrix -> (k, 2) uint64 pairs."""
+    limb, off, mask = _coord_layout(level)
+    vals = (C & mask) << off[None, :]
+    out = np.zeros((C.shape[0], 2), dtype=np.uint64)
+    np.bitwise_or.at(out, (slice(None), limb), vals)  # scatter-OR into limbs
+    return out
+
+
+def _mul_pairs(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Batched B128 multiply on (k, 2) uint64 pair arrays (native kernel,
+    scalar fallback)."""
+    from .. import native as native_mod
+    lib = native_mod.get_lib()
+    k = a.shape[0]
+    out = np.empty((k, 2), dtype=np.uint64)
+    if lib is not None:
+        import ctypes
+        p64 = ctypes.POINTER(ctypes.c_uint64)
+        a = np.ascontiguousarray(a)
+        b = np.ascontiguousarray(b)
+        lib.tower_mul_batch(LEVEL, a.ctypes.data_as(p64), b.ctypes.data_as(p64),
+                            out.ctypes.data_as(p64), k)
+        return out
+    for i in range(k):
+        v = scalar.mul(LEVEL, int(a[i, 0]) | (int(a[i, 1]) << 64),
+                       int(b[i, 0]) | (int(b[i, 1]) << 64))
+        out[i, 0] = v & _M64
+        out[i, 1] = v >> 64
+    return out
+
+
+class TensorAlgElem:
+    """2^kappa vertical B128 elements; kappa = 7 - level. Stored as a
+    (2^kappa, 2) uint64 pair matrix; `elems` materializes Python ints."""
+
+    __slots__ = ("level", "_m")
+
+    def __init__(self, level: int, elems):
+        self.level = level
+        self._m = elems if isinstance(elems, np.ndarray) else _ints_to_pairs(elems)
+
+    @property
+    def elems(self) -> list:
+        return _pairs_to_ints(self._m)
 
     @property
     def kappa(self) -> int:
@@ -62,38 +140,39 @@ class TensorAlgElem:
 
     @staticmethod
     def zero(level: int) -> "TensorAlgElem":
-        return TensorAlgElem(level, [0] * (1 << (7 - level)))
+        return TensorAlgElem(level, np.zeros((1 << (7 - level), 2), dtype=np.uint64))
 
     @staticmethod
     def from_vertical(level: int, x: int) -> "TensorAlgElem":
         e = TensorAlgElem.zero(level)
-        e.elems[0] = x
+        e._m[0, 0] = x & _M64
+        e._m[0, 1] = x >> 64
         return e
 
     def add(self, other: "TensorAlgElem") -> "TensorAlgElem":
         assert self.level == other.level
-        return TensorAlgElem(self.level, [a ^ b for a, b in zip(self.elems, other.elems)])
+        return TensorAlgElem(self.level, self._m ^ other._m)
 
     def scale_vertical(self, s: int) -> "TensorAlgElem":
-        return TensorAlgElem(self.level, [scalar.mul(LEVEL, e, s) for e in self.elems])
+        sv = np.empty((self._m.shape[0], 2), dtype=np.uint64)
+        sv[:, 0] = s & _M64
+        sv[:, 1] = s >> 64
+        return TensorAlgElem(self.level, _mul_pairs(self._m, sv))
 
     def transpose(self) -> "TensorAlgElem":
-        k = 1 << self.kappa
-        new = []
-        for i in range(k):
-            new.append(from_coords(self.level, [coord(self.level, self.elems[j], i)
-                                                for j in range(k)]))
-        return TensorAlgElem(self.level, new)
+        C = _to_coords(self.level, self._m)
+        return TensorAlgElem(self.level, _from_coords_np(self.level,
+                                                         np.ascontiguousarray(C.T)))
 
     def scale_horizontal(self, s: int) -> "TensorAlgElem":
         return self.transpose().scale_vertical(s).transpose()
 
     def fold_vertical(self, coeffs: list[int]) -> int:
         t = self.transpose()
-        acc = 0
-        for e, c in zip(t.elems, coeffs):
-            acc ^= scalar.mul(LEVEL, e, c)
-        return acc
+        prods = _mul_pairs(t._m, _ints_to_pairs(list(coeffs)))
+        lo = int(np.bitwise_xor.reduce(prods[:, 0]))
+        hi = int(np.bitwise_xor.reduce(prods[:, 1]))
+        return lo | (hi << 64)
 
 
 # ---------------------------------------------------------------------------
