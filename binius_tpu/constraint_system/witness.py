@@ -38,10 +38,8 @@ def materialize(oracles: om.OracleSet, witness: dict, oid: int):
         out = (LEVEL, acc)
     elif o.variant == om.SHIFTED:
         ilvl, idata = materialize(oracles, witness, o.inner[0])
-        vals = tower.to_ints(ilvl, idata)
-        shifted = shift_ind.apply_shift_ints(o.shift_variant, o.shift_block_bits,
-                                             o.shift_offset, vals)
-        out = (ilvl, tower.from_ints(ilvl, shifted))
+        out = (ilvl, shift_ind.apply_shift_device(
+            ilvl, o.shift_variant, o.shift_block_bits, o.shift_offset, idata))
     elif o.variant == om.COMPOSITE:
         inner_data = []
         for iid in o.inner:

@@ -82,22 +82,43 @@ def from_numpy(level: int, arr: np.ndarray) -> jax.Array:
 
 
 def from_ints(level: int, values) -> jax.Array:
-    """Python ints / iterables -> device array in canonical layout."""
-    vals = list(values)
-    if has_limb_dim(level):
-        if not vals:
-            return jnp.zeros((0, n_limbs(level)), dtype=U32)
-        arr = np.stack([_int_to_limbs(level, int(v)) for v in vals])
-        return jnp.asarray(arr)
-    return jnp.asarray(np.array([int(v) for v in vals], dtype=np.uint32))
+    """Python ints / iterables -> device array in canonical layout.
+
+    Vectorized: per-element work is one u64 split at most (trace generation
+    converts millions of values; the per-limb generator version dominated
+    keccak trace-gen profiles)."""
+    vals = values if isinstance(values, list) else list(values)
+    if not has_limb_dim(level):
+        return jnp.asarray(np.array(vals, dtype=np.uint32))
+    k = n_limbs(level)
+    if not vals:
+        return jnp.zeros((0, k), dtype=U32)
+    out = np.empty((len(vals), k), dtype=np.uint32)
+    if level == 6:
+        a = np.array(vals, dtype=np.uint64)
+        out[:, 0] = a & np.uint64(0xFFFFFFFF)
+        out[:, 1] = a >> np.uint64(32)
+    else:  # level 7: one Python divmod per value, numpy for the rest
+        M64 = (1 << 64) - 1
+        lo = np.array([v & M64 for v in vals], dtype=np.uint64)
+        hi = np.array([v >> 64 for v in vals], dtype=np.uint64)
+        out[:, 0] = lo & np.uint64(0xFFFFFFFF)
+        out[:, 1] = lo >> np.uint64(32)
+        out[:, 2] = hi & np.uint64(0xFFFFFFFF)
+        out[:, 3] = hi >> np.uint64(32)
+    return jnp.asarray(out)
 
 
 def to_ints(level: int, a) -> list[int]:
     arr = np.asarray(jax.device_get(a))
-    if has_limb_dim(level):
-        flat = arr.reshape(-1, n_limbs(level))
-        return [int(sum(int(x) << (32 * i) for i, x in enumerate(row))) for row in flat]
-    return [int(x) for x in arr.reshape(-1)]
+    if not has_limb_dim(level):
+        return [int(x) for x in arr.reshape(-1)]
+    flat = arr.reshape(-1, n_limbs(level)).astype(np.uint64)
+    lo = flat[:, 0] | (flat[:, 1] << np.uint64(32))
+    if n_limbs(level) == 2:
+        return [int(x) for x in lo]
+    hi = flat[:, 2] | (flat[:, 3] << np.uint64(32))
+    return [int(l) | (int(h) << 64) for l, h in zip(lo, hi)]
 
 
 def batch_shape(level: int, a) -> tuple[int, ...]:

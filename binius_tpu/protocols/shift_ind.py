@@ -256,6 +256,31 @@ def partial_mle_batch(variants: list[str], b: int, offsets: list[int],
     return out[:k]
 
 
+def apply_shift_device(level: int, variant: str, b: int, o: int, data):
+    """Device shifted-column materialization: same semantics as
+    `apply_shift_ints` on the canonical layout, no host round trip."""
+    import jax.numpy as jnp
+
+    from ..fields import tower as _tower
+    n = _tower.batch_shape(level, data)[0]
+    size = 1 << b
+    d = data.reshape(_tower.elem_shape(level, (n // size, size)))
+    axis = 1
+    if variant == CIRCULAR_LEFT:
+        out = jnp.roll(d, -o, axis=axis)
+    elif variant == LOGICAL_LEFT:
+        pad = [(0, 0)] * d.ndim
+        pad[axis] = (0, o)
+        out = jnp.pad(jax.lax.slice_in_dim(d, o, size, axis=axis), pad)
+    elif variant == LOGICAL_RIGHT:
+        pad = [(0, 0)] * d.ndim
+        pad[axis] = (o, 0)
+        out = jnp.pad(jax.lax.slice_in_dim(d, 0, size - o, axis=axis), pad)
+    else:
+        raise ValueError(variant)
+    return out.reshape(data.shape)
+
+
 def apply_shift_ints(variant: str, b: int, o: int, vals: list[int]) -> list[int]:
     """Reference shifted-column semantics on raw data (for tests/witness gen).
 
