@@ -202,15 +202,24 @@ class TableBuilder:
         return TableStat(self)
 
     # -- flushes -----------------------------------------------------------
+    def _check_flush(self, cols: list, selector) -> None:
+        """Flush columns must share a values-per-row; a multi-value flush
+        (vpr > 0) contributes every value of every row to the channel
+        (`builder/table.rs` flushes of Col<_, VALUES_PER_ROW>)."""
+        vpr = cols[0].log_values_per_row
+        assert all(c.log_values_per_row == vpr for c in cols), \
+            "flush columns must share one values-per-row"
+        assert selector is None or selector.log_values_per_row == vpr, \
+            "flush selector must match the columns' values-per-row"
+
     def push(self, channel_id: int, cols: list, multiplicity: int = 1,
              selector=None) -> None:
-        assert all(c.log_values_per_row == 0 for c in cols), \
-            "flush columns must have one value per row"
+        self._check_flush(cols, selector)
         self.flushes.append((channel_id, PUSH, tuple(cols), multiplicity, selector))
 
     def pull(self, channel_id: int, cols: list, multiplicity: int = 1,
              selector=None) -> None:
-        assert all(c.log_values_per_row == 0 for c in cols)
+        self._check_flush(cols, selector)
         self.flushes.append((channel_id, PULL, tuple(cols), multiplicity, selector))
 
 
@@ -346,16 +355,24 @@ class M3ConstraintSystem:
                     log_rows + vpr,
                     tuple(oracle_map[(t.table_id, c.index)] for c in col_list),
                     tuple(exprs)))
-            step_down_id = None
-            if size < (1 << log_rows) and t.flushes:
-                from ...protocols.transparent import StepDown
-                step_down_id = oracles.add_transparent(
-                    StepDown(log_rows, size), f"{t.name}.stepdown")
+            step_down_ids: dict = {}  # per flush values-per-row
+
+            def _step_down(vpr: int):
+                # mask whole rows of a multi-value flush: values are
+                # row-major (value index = low bits), so StepDown over
+                # (log_rows + vpr, size << vpr) covers exactly `size` rows
+                if vpr not in step_down_ids:
+                    from ...protocols.transparent import StepDown
+                    step_down_ids[vpr] = oracles.add_transparent(
+                        StepDown(log_rows + vpr, size << vpr),
+                        f"{t.name}.stepdown{vpr}")
+                return step_down_ids[vpr]
+
             for channel_id, direction, cols, mult, selector in t.flushes:
                 sel_ids = ((oracle_map[(t.table_id, selector.index)],)
                            if selector is not None else ())
-                if step_down_id is not None:
-                    sel_ids = sel_ids + (step_down_id,)
+                if size < (1 << log_rows):
+                    sel_ids = sel_ids + (_step_down(cols[0].log_values_per_row),)
                 flushes.append(Flush(channel_id, direction,
                                      tuple(oracle_map[(t.table_id, c.index)] for c in cols),
                                      mult, sel_ids))

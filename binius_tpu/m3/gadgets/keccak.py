@@ -164,3 +164,174 @@ class KeccakF:
             for i, col in enumerate(self.rounds_out[r]):
                 tw.set_packed_ints(col, [row[i] for row in per_round_rows[r]])
         return outs
+
+
+# ---------------------------------------------------------------------------
+# Lookedup variant: chi through a bit-AND lookup channel
+# ---------------------------------------------------------------------------
+
+def bit_and_index(a: int, b: int) -> int:
+    """Index of the (a, b) bit pair in the 4-row bit-AND table."""
+    return a | (b << 1)
+
+
+@dataclasses.dataclass
+class KeccakFLookedup:
+    """Keccak-f[1600] with chi enforced by LOOKUPS instead of multiplicative
+    constraints (counterpart of `gadgets/hash/keccak/lookedup.rs`, adapted to
+    this framework's layout).
+
+    The reference batches 8 SIMD tracks per row and looks chi up in the
+    2^16-row byte-AND table; here every lane stays a B1 column with 64
+    values per row, so the natural granularity is the 4-row BIT-AND table
+    (`indexed_lookup.rs` machinery with n_bits = 1) and each lane-round
+    contributes ONE multi-value pull. Chi needs no zerocheck constraint at
+    all: with out committed, the pulled merged value
+
+        1 + B1 + 2*B2 + 4*(out + B0 [+ RC])
+
+    lies in the table iff out + B0 [+ RC] = (1 + B1) & B2, which is exactly
+    chi (+ iota). The whole permutation then has ZERO zero-constraints —
+    theta/rho/pi are virtual columns and the nonlinearity lives in the
+    channel's grand product.
+    """
+
+    state_in: list
+    state_out: list
+    rounds_out: list
+    merged_cols: list  # 600 pulled columns, round-major
+
+    @staticmethod
+    def build(t: TableBuilder, name: str, state_in: list,
+              lookup_channel: int) -> "KeccakFLookedup":
+        V = ArithExpr.var
+        C = lambda v: ArithExpr.const(v, 7)
+        a = list(state_in)
+        rounds_out = []
+        merged_cols = []
+        for r in range(N_ROUNDS):
+            c_cols = []
+            for x in range(5):
+                cols = [a[x + 5 * y] for y in range(5)]
+                expr = V(0) + V(1) + V(2) + V(3) + V(4)
+                c_cols.append(t.add_computed(f"{name}.r{r}.C{x}", expr, cols))
+            rot_c = [_rot_col(t, f"{name}.r{r}.rotC{x}", c_cols[x], 1) for x in range(5)]
+            after_theta = []
+            for y in range(5):
+                for x in range(5):
+                    cols = [a[x + 5 * y], c_cols[(x + 4) % 5], rot_c[(x + 1) % 5]]
+                    after_theta.append(t.add_computed(f"{name}.r{r}.T{x}_{y}",
+                                                      V(0) + V(1) + V(2), cols))
+            b = [None] * 25
+            for x in range(5):
+                for y in range(5):
+                    src = after_theta[x + 5 * y]
+                    b[y + 5 * ((2 * x + 3 * y) % 5)] = _rot_col(
+                        t, f"{name}.r{r}.B{x}_{y}", src, RHO[x][y])
+            rc_pattern = [(RC[r] >> z) & 1 for z in range(64)]
+            rc_col = t.add_fixed(f"{name}.r{r}.RC", 0, rc_pattern, LOG_LANE)
+            nxt = []
+            for y in range(5):
+                for x in range(5):
+                    out = t.add_committed(f"{name}.r{r}.A{x}_{y}", 0, LOG_LANE)
+                    nxt.append(out)
+                    b0 = b[x + 5 * y]
+                    b1 = b[(x + 1) % 5 + 5 * y]
+                    b2 = b[(x + 2) % 5 + 5 * y]
+                    if x == 0 and y == 0:
+                        cols = [b1, b2, out, b0, rc_col]
+                        expr = (C(1) + V(0) + C(2) * V(1)
+                                + C(4) * (V(2) + V(3) + V(4)))
+                    else:
+                        cols = [b1, b2, out, b0]
+                        expr = C(1) + V(0) + C(2) * V(1) + C(4) * (V(2) + V(3))
+                    merged = t.add_computed(f"{name}.r{r}.m{x}_{y}", expr, cols)
+                    merged_cols.append(merged)
+                    t.pull(lookup_channel, [merged])
+            a = nxt
+            rounds_out.append(nxt)
+        return KeccakFLookedup(list(state_in), a, rounds_out, merged_cols)
+
+    def populate(self, tw, input_lanes_rows: list):
+        """Fill committed columns; returns (per-row output lanes,
+        bit-AND index counts[4] for the lookup table side)."""
+        M = (1 << 64) - 1
+
+        def rot(v, n):
+            n %= 64
+            return ((v << n) | (v >> (64 - n))) & M
+
+        counts = [0, 0, 0, 0]
+        outs = []
+        per_round_rows = [[] for _ in range(N_ROUNDS)]
+        for lanes in input_lanes_rows:
+            a = list(lanes)
+            for r in range(N_ROUNDS):
+                c = [a[x] ^ a[x + 5] ^ a[x + 10] ^ a[x + 15] ^ a[x + 20]
+                     for x in range(5)]
+                d = [c[(x - 1) % 5] ^ rot(c[(x + 1) % 5], 1) for x in range(5)]
+                at = [a[x + 5 * y] ^ d[x] for y in range(5) for x in range(5)]
+                b = [0] * 25
+                for x in range(5):
+                    for y in range(5):
+                        b[y + 5 * ((2 * x + 3 * y) % 5)] = rot(at[x + 5 * y], RHO[x][y])
+                for y in range(5):
+                    for x in range(5):
+                        nb1 = (~b[(x + 1) % 5 + 5 * y]) & M
+                        b2 = b[(x + 2) % 5 + 5 * y]
+                        for z in range(64):
+                            counts[bit_and_index((nb1 >> z) & 1, (b2 >> z) & 1)] += 1
+                a = [b[x + 5 * y] ^ ((~b[(x + 1) % 5 + 5 * y]) & b[(x + 2) % 5 + 5 * y])
+                     for y in range(5) for x in range(5)]
+                a[0] ^= RC[r]
+                per_round_rows[r].append(list(a))
+            outs.append(a)
+        for i, col in enumerate(self.state_in):
+            tw.set_packed_ints(col, [row[i] for row in input_lanes_rows])
+        for r in range(N_ROUNDS):
+            for i, col in enumerate(self.rounds_out[r]):
+                tw.set_packed_ints(col, [row[i] for row in per_round_rows[r]])
+        return outs, counts
+
+
+@dataclasses.dataclass
+class KeccakLookedupCS:
+    """Two-table system: the keccak table plus the 4-row bit-AND lookup
+    table (structured ordered entries, committed sorted copy, permutation
+    channel, LookupProducer), mirroring `lookedup.rs`'s test harness."""
+
+    m3: object
+    keccak_table: object
+    gadget: KeccakFLookedup
+    state_in: list
+    lookup: object
+
+    lookup_table: object = None
+
+    @staticmethod
+    def build(m3, log_n_permutations: int,
+              n_multiplicity_bits: int = None) -> "KeccakLookedupCS":
+        from .indexed_lookup import BitAndLookup
+
+        lookup_ch = m3.add_channel()
+        perm_ch = m3.add_channel()
+        t = m3.add_table("keccak_lookedup")
+        state_in = [t.add_committed(f"in{i}", 0, LOG_LANE) for i in range(25)]
+        gadget = KeccakFLookedup.build(t, "kf", state_in, lookup_ch)
+        tl = m3.add_table("bitand_table")
+        if n_multiplicity_bits is None:
+            # counts sum to n_perms * 24 * 25 * 64 over the 4 indices
+            n_multiplicity_bits = log_n_permutations + 16
+        lookup = BitAndLookup.build(tl, lookup_ch, perm_ch,
+                                    n_multiplicity_bits, n_bits=1)
+        return KeccakLookedupCS(m3, t, gadget, state_in, lookup, tl)
+
+    def table_sizes(self, n_permutations: int) -> list[int]:
+        return [n_permutations, 4]
+
+    def populate(self, wi, input_lanes_rows: list):
+        outs, counts = self.gadget.populate(wi.table(self.keccak_table.table_id),
+                                            input_lanes_rows)
+        self.lookup.populate(wi.table(self.lookup_table.table_id),
+                             [(i, counts[i]) for i in range(4)])
+        return outs
