@@ -8,6 +8,8 @@ from the oracle definitions at lowering time.
 
 from __future__ import annotations
 
+import numpy as np
+
 from ...constraint_system import witness as core_witness
 from ...fields import tower
 
@@ -23,31 +25,47 @@ class TableWitness:
     def n_rows(self) -> int:
         return 1 << self.log_rows
 
-    def set_column(self, col, values: list) -> None:
+    def set_column(self, col, values) -> None:
         """Accepts `size` rows of values (zero-padded to capacity) or full
         capacity rows directly (gadget fillers repeat the last event into
         padding so row-wise constraints keep holding, `witness.rs:577-589`;
-        the step-down mask keeps padded rows out of the channel balance)."""
+        the step-down mask keeps padded rows out of the channel balance).
+
+        Values may be a Python list or a numpy array (typed bulk fill, the
+        analog of `witness.rs` TableWitnessSegment's typed accessors); numpy
+        columns lower without any per-int conversion."""
         vpr = col.log_values_per_row
         expect = self.size << vpr
         full = self.n_rows << vpr
         assert len(values) in (expect, full), (len(values), expect, full)
         pad = full - len(values)
-        self.columns[col.index] = [int(v) for v in values] + [0] * pad
+        if isinstance(values, np.ndarray):
+            if pad:
+                values = np.pad(values, (0, pad))
+            self.columns[col.index] = values
+        else:
+            self.columns[col.index] = [int(v) for v in values] + [0] * pad
 
     def set_packed_ints(self, col, row_values: list) -> None:
         """For a B1 column with 2^v values per row: one integer per row,
         bit i of the integer lands at value-index i (LSB first)."""
         assert col.level == 0
-        w = 1 << col.log_values_per_row
+        v = col.log_values_per_row
+        w = 1 << v
+        if w <= 64:
+            a = np.array([int(x) for x in row_values], dtype=np.uint64)
+            bits = (a[:, None] >> np.arange(w, dtype=np.uint64)) & np.uint64(1)
+            self.set_column(col, bits.reshape(-1).astype(np.uint32))
+            return
         out = []
-        for v in row_values:
+        for x in row_values:
             for i in range(w):
-                out.append((int(v) >> i) & 1)
+                out.append((int(x) >> i) & 1)
         self.set_column(col, out)
 
     def get_column(self, col) -> list:
-        return self.columns[col.index]
+        vals = self.columns[col.index]
+        return [int(x) for x in vals] if isinstance(vals, np.ndarray) else vals
 
     def get_packed_ints(self, col) -> list:
         w = 1 << col.log_values_per_row
@@ -56,7 +74,7 @@ class TableWitness:
         for r in range(self.n_rows):
             acc = 0
             for i in range(w):
-                acc |= vals[r * w + i] << i
+                acc |= int(vals[r * w + i]) << i
             out.append(acc)
         return out
 
@@ -96,7 +114,14 @@ class WitnessIndex:
                 oid = oracle_map[(t.table_id, cd.col.index)]
                 vals = tw.columns.get(cd.col.index)
                 assert vals is not None, f"column {cd.col.name} not filled"
-                witness[oid] = (cd.col.level, tower.from_ints(cd.col.level, vals))
+                if isinstance(vals, np.ndarray):
+                    if cd.col.level <= 5:
+                        dev = tower.from_numpy(cd.col.level, vals.astype(np.uint32))
+                    else:
+                        dev = tower.from_numpy(cd.col.level, vals.astype(np.uint64))
+                    witness[oid] = (cd.col.level, dev)
+                else:
+                    witness[oid] = (cd.col.level, tower.from_ints(cd.col.level, vals))
         # prover-computed exp result columns (`constraint_system/exp.py`)
         if core_system.exponents:
             from ...constraint_system import exp as exp_mod

@@ -96,3 +96,27 @@ def evals_01(level: int, data, n_vars: int, order_high: bool):
     if tower.has_limb_dim(level):
         return d[:, 0, :], d[:, 1, :]
     return d[:, 0], d[:, 1]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 5, 6))
+def _fold_middle_data(level: int, data, n_vars: int, q_level: int, q_expansion,
+                      k: int, start: int):
+    out_level, d, e = _promote(level, data, q_level, q_expansion)
+    hi = n_vars - k - start
+    d = d.reshape(tower.elem_shape(out_level, (1 << hi, 1 << k, 1 << start)))
+    if tower.has_limb_dim(out_level):
+        e = e[None, :, None, :]
+    else:
+        e = e[None, :, None]
+    out = tower.inner_product(out_level, d, e, axis=1)
+    return out.reshape(tower.elem_shape(out_level, (1 << (n_vars - k),)))
+
+
+def fold_middle(level: int, data, n_vars: int, q_level: int, q_expansion,
+                k: int, start: int):
+    """Bind k variables starting at `start` to a query (given as its eq
+    expansion): out[(j << start) | i] = sum_q E[q] * d[(j << (start+k)) |
+    (q << start) | i] — `crates/math/src/fold.rs:189-240` fold_middle."""
+    assert n_vars >= k + start
+    return max(level, q_level), _fold_middle_data(level, data, n_vars, q_level,
+                                                  q_expansion, k, start)

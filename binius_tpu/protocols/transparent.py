@@ -224,3 +224,95 @@ class Powers:
             vals.append(cur)
             cur = scalar.mul(LEVEL, cur, self.base)
         return LEVEL, tower.from_ints(LEVEL, vals)
+
+
+@dataclasses.dataclass(frozen=True)
+class SelectRow:
+    """1 at exactly one hypercube index, 0 elsewhere — boundary constraints
+    (`transparent/select_row.rs:11-46`): the MLE is eq(bits(index), X)."""
+
+    n_vars: int
+    index: int
+    level: int = 0
+
+    def __post_init__(self):
+        assert 0 <= self.index < (1 << self.n_vars)
+
+    def evaluate_scalar(self, q: list[int]) -> int:
+        acc = 1
+        for k in range(self.n_vars):
+            bit = (self.index >> k) & 1
+            acc = scalar.mul(LEVEL, acc, q[k] if bit else q[k] ^ 1)
+        return acc
+
+    def mle(self):
+        vals = [1 if i == self.index else 0 for i in range(1 << self.n_vars)]
+        return 0, tower.from_ints(0, vals)
+
+
+@dataclasses.dataclass(frozen=True)
+class TowerBasis:
+    """beta_v basis column of T_{iota+kappa} over T_iota
+    (`transparent/tower_basis.rs`): value at hypercube index v is the basis
+    element 1 << (v << iota) in the canonical packing."""
+
+    kappa: int
+    iota: int
+
+    @property
+    def n_vars(self) -> int:
+        return self.kappa
+
+    @property
+    def level(self) -> int:
+        return self.iota + self.kappa
+
+    def evaluate_scalar(self, q: list[int]) -> int:
+        acc = 0
+        for v in range(1 << self.kappa):
+            term = 1 << (v << self.iota)
+            for k in range(self.kappa):
+                bit = (v >> k) & 1
+                term = scalar.mul(LEVEL, term, q[k] if bit else q[k] ^ 1)
+            acc ^= term
+        return acc
+
+    def mle(self):
+        vals = [1 << (v << self.iota) for v in range(1 << self.kappa)]
+        return self.level, tower.from_ints(self.level, vals)
+
+
+@dataclasses.dataclass(frozen=True)
+class DisjointProduct:
+    """Product of two transparents over disjoint variables: poly0 takes the
+    LOW n0 variables, poly1 the high ones (`transparent/disjoint_product.rs`)."""
+
+    poly0: object
+    poly1: object
+
+    @property
+    def n_vars(self) -> int:
+        return self.poly0.n_vars + self.poly1.n_vars
+
+    @property
+    def level(self) -> int:
+        return max(self.poly0.level, self.poly1.level)
+
+    def evaluate_scalar(self, q: list[int]) -> int:
+        n0 = self.poly0.n_vars
+        return scalar.mul(LEVEL, self.poly0.evaluate_scalar(q[:n0]),
+                          self.poly1.evaluate_scalar(q[n0:]))
+
+    def mle(self):
+        l0, d0 = self.poly0.mle()
+        l1, d1 = self.poly1.mle()
+        lvl = max(l0, l1, 5)  # keep integer-exact lane ops simple: promote
+        if l0 < lvl:
+            d0 = tower.embed(l0, lvl, d0)
+        if l1 < lvl:
+            d1 = tower.embed(l1, lvl, d1)
+        if tower.has_limb_dim(lvl):
+            prod = tower.mul(lvl, d1[:, None, :], d0[None, :, :])
+            return lvl, prod.reshape((1 << self.n_vars, tower.n_limbs(lvl)))
+        prod = tower.mul(lvl, d1[:, None], d0[None, :])
+        return lvl, prod.reshape((1 << self.n_vars,))

@@ -45,3 +45,57 @@ def test_embedding_solves_tower_quadratics():
         lhs = iso.polyval_mul(g, g) ^ iso.polyval_mul(xk, g) ^ 1
         assert lhs == 0
         xk = g
+
+
+def test_aes_tower_all_levels():
+    """AES tower fields 8b..128b (`aes_field.rs:46-50`): field axioms via
+    conjugation + the reference's multiplicative generators as parity
+    anchors (generator order checked at 8/16 bits, subgroup sanity above)."""
+    import random as _r
+
+    from binius_tpu.fields import aes, scalar
+
+    rng = _r.Random(5)
+    for level in range(3, 8):
+        nb = 1 << level
+        # ring homomorphism: iso(a*b) = iso(a)*iso(b) holds by construction;
+        # check mul against the canonical field through the inverse map
+        for _ in range(20):
+            a = rng.getrandbits(nb)
+            b = rng.getrandbits(nb)
+            c = aes.mul(level, a, b)
+            assert aes.aes_to_canonical(level, c) == scalar.mul(
+                level, aes.aes_to_canonical(level, a), aes.aes_to_canonical(level, b))
+            assert aes.canonical_to_aes(level, aes.aes_to_canonical(level, a)) == a
+            if a:
+                assert aes.mul(level, a, aes.invert(level, a)) == 1
+        # generator parity: the canonical image of the AES generator must be
+        # a multiplicative generator of the canonical field; at 8/16 bits
+        # verify the order exactly
+        g = aes.GENERATORS[level]
+        if level <= 4:
+            img = aes.aes_to_canonical(level, g)
+            assert scalar.multiplicative_order(level, img) == (1 << nb) - 1
+        else:
+            # g^(2^nb - 1) == 1 and g^((2^nb-1)/p) != 1 for small primes p
+            order = (1 << nb) - 1
+            assert aes.pow(level, g, order) == 1
+            for p in (3, 5, 17, 257):
+                if order % p == 0:
+                    assert aes.pow(level, g, order // p) != 1
+
+
+def test_aes_device_conversion_matches_host():
+    import random as _r
+
+    import numpy as np
+
+    from binius_tpu.fields import aes, tower
+
+    rng = _r.Random(6)
+    vals = [rng.getrandbits(32) for _ in range(64)]
+    dev = tower.from_numpy(5, np.array(vals, dtype=np.uint32))
+    out = tower.to_ints(5, aes.convert_device(5, dev, to_canonical=True))
+    assert out == [aes.aes_to_canonical(5, v) for v in vals]
+    back = tower.to_ints(5, aes.convert_device(5, aes.convert_device(5, dev, True), False))
+    assert back == vals

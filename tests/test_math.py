@@ -144,3 +144,74 @@ def test_eq_ind_function():
     for i in range(k):
         want = scalar.mul(lvl, want, scalar.mul(lvl, x[i], y[i]) ^ scalar.mul(lvl, x[i] ^ 1, y[i] ^ 1))
     assert tower.to_ints(lvl, got[None, :])[0] == want
+
+
+def test_fold_middle_matches_scalar():
+    """fold_middle vs per-index host dot products (`fold.rs:189-240`)."""
+    import random as _r
+
+    from binius_tpu.fields import scalar, tower
+    from binius_tpu.math import fold, mle
+
+    rng = _r.Random(53)
+    n, k, start = 6, 2, 3
+    vals = [rng.getrandbits(128) for _ in range(1 << n)]
+    q = [rng.getrandbits(128) for _ in range(k)]
+    eq = mle.eq_ind_partial_eval(7, tower.from_ints(7, q))
+    _, out = fold.fold_middle(7, tower.from_ints(7, vals), n, 7, eq, k, start)
+    got = tower.to_ints(7, out)
+    eq_ints = tower.to_ints(7, eq)
+    for j in range(1 << (n - k - start)):
+        for i in range(1 << start):
+            want = 0
+            for qi in range(1 << k):
+                idx = (j << (start + k)) | (qi << start) | i
+                want ^= scalar.mul(7, eq_ints[qi], vals[idx])
+            assert got[(j << start) | i] == want
+
+
+def test_select_row_tower_basis_disjoint_product():
+    import random as _r
+
+    from binius_tpu.fields import scalar, tower
+    from binius_tpu.protocols.transparent import (DisjointProduct, SelectRow,
+                                                  StepDown, TowerBasis)
+
+    rng = _r.Random(54)
+    sr = SelectRow(4, 11)
+    lvl, data = sr.mle()
+    vals = tower.to_ints(lvl, data)
+    assert vals == [1 if i == 11 else 0 for i in range(16)]
+    # evaluate_scalar agrees with the MLE folded at a random point
+    q = [rng.getrandbits(128) for _ in range(4)]
+    want = 0
+    for i, v in enumerate(vals):
+        term = v
+        for kk in range(4):
+            term = scalar.mul(7, term, q[kk] if (i >> kk) & 1 else q[kk] ^ 1)
+        want ^= term
+    assert sr.evaluate_scalar(q) == want
+
+    tb = TowerBasis(kappa=3, iota=2)
+    lvl, data = tb.mle()
+    assert tower.to_ints(lvl, data) == [1 << (v << 2) for v in range(8)]
+    q = [rng.getrandbits(128) for _ in range(3)]
+    want = 0
+    for v in range(8):
+        term = 1 << (v << 2)
+        for kk in range(3):
+            term = scalar.mul(7, term, q[kk] if (v >> kk) & 1 else q[kk] ^ 1)
+        want ^= term
+    assert tb.evaluate_scalar(q) == want
+
+    dp = DisjointProduct(SelectRow(2, 1), StepDown(3, 5))
+    assert dp.n_vars == 5
+    lvl, data = dp.mle()
+    vals = tower.to_ints(lvl, data)
+    for idx in range(32):
+        lo, hi = idx & 3, idx >> 2
+        assert vals[idx] == (1 if (lo == 1 and hi < 5) else 0)
+    q = [rng.getrandbits(128) for _ in range(5)]
+    want = SelectRow(2, 1).evaluate_scalar(q[:2])
+    want = scalar.mul(7, want, StepDown(3, 5).evaluate_scalar(q[2:]))
+    assert dp.evaluate_scalar(q) == want

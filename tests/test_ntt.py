@@ -136,3 +136,22 @@ def test_twiddle_linearity():
     tws = dom.stage_twiddles_np(2, 4, high_bits=1)
     for j in range(16):
         assert int(tws[j]) == dom.twiddle(2, (1 << 4) | j)
+
+
+@pytest.mark.parametrize("d,ell,coset_bits", [(3, 2, 2), (5, 3, 3), (1, 2, 1), (7, 1, 3)])
+def test_odd_interpolate_recovers_coefficients(d, ell, coset_bits):
+    """OddInterpolate vs the novel-basis evaluation oracle
+    (`ntt/src/odd_interpolate.rs` tests' property): evaluate a random
+    degree < d*2^ell polynomial on the first d cosets, interpolate, and
+    recover the coefficients."""
+    from binius_tpu.ntt.odd_interpolate import OddInterpolate
+
+    level = 5
+    dom = NTTDomain.create(level, ell + coset_bits)
+    n = d << ell
+    coeffs = [random.getrandbits(32) for _ in range(n)]
+    padded = coeffs + [0] * ((1 << (ell + coset_bits)) - n)
+    evals_full = novel_basis_eval(level, dom, padded, ell + coset_bits, 0, 0)
+    evals = evals_full[:n]
+    oi = OddInterpolate.create(dom, d, ell, coset_bits)
+    assert oi.inverse_transform(evals) == coeffs
