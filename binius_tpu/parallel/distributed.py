@@ -1,0 +1,52 @@
+"""Multi-host initialization for the sharded prover (SURVEY §5.8).
+
+One TPU pod slice = many hosts, each owning a subset of chips. JAX's
+runtime makes multi-host SPMD look single-program: after
+`jax.distributed.initialize`, `jax.devices()` lists EVERY chip in the slice,
+a `Mesh` built over them spans hosts, and the same jitted prover kernels run
+with ICI/DCN collectives inserted by GSPMD. Because `prove(..., mesh=...)`
+is already written against a global mesh (parallel/mesh.py), multi-host is
+a deployment configuration, not a code path:
+
+    from binius_tpu.parallel import distributed, mesh
+    distributed.initialize()            # per-host process, e.g. via SLURM/GKE
+    proof = prove(system, witness, mesh=mesh.make_mesh())
+
+Proof bytes are identical at any device count (tests/test_sharding.py); the
+host-side transcript runs redundantly and deterministically on every
+process, which keeps hosts in lockstep without extra communication (each
+host computes the same challenges from the same committed data).
+
+This module cannot be integration-tested in a single-host image; the
+single-host analog (8-process CPU mesh semantics) is covered by the
+byte-equality tests and `__graft_entry__.dryrun_multichip`.
+"""
+
+from __future__ import annotations
+
+import jax
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None) -> None:
+    """Join the multi-host runtime. With no arguments, relies on the TPU
+    environment's auto-detection (GKE/Cloud TPU metadata); arguments follow
+    `jax.distributed.initialize`."""
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+
+
+def is_multi_host() -> bool:
+    return jax.process_count() > 1
+
+
+def local_device_fraction() -> tuple[int, int]:
+    """(local device count, global device count)."""
+    return len(jax.local_devices()), len(jax.devices())
