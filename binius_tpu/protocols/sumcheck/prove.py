@@ -35,6 +35,20 @@ from . import common
 from .common import LEVEL, SumcheckClaim
 
 
+#: Batch all of a claim's compositions into ONE round-eval kernel. 2x faster
+#: warm (shared halves/extrapolations, 25x fewer dispatches) but the bigger
+#: graph compiles ~13x slower on XLA:CPU (274 s vs 21 s for a keccak-shaped
+#: claim) and stage-2 re-bucketing recompiles per shape — so default ON for
+#: TPU (remote compile service), OFF for CPU. BINIUS_BATCH_ROUND_KERNELS=0/1
+#: overrides.
+def _batch_round_kernels() -> bool:
+    import os
+    env = os.environ.get("BINIUS_BATCH_ROUND_KERNELS", "")
+    if env != "":
+        return env not in ("0",)
+    return jax.default_backend() in ("tpu", "axon")
+
+
 def _bucket_log(log_m: int) -> int:
     """Pad log-size up to the next even value (power-of-4 buckets)."""
     return log_m + (log_m & 1)
@@ -60,12 +74,18 @@ def _mask01(shape_len: int, active, extra_dims: int):
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 5, 7))
-def _round_values_jit(comps: tuple, levels: tuple, log_padded: int, order_high: bool,
+def _round_values_jit(comp_specs: tuple, levels: tuple, log_padded: int, order_high: bool,
                       mls: tuple, points: tuple, active, spmd: bool = False):
     """Values of each composite round polynomial at each domain point, with
     the active prefix length `active` (traced) masked into the reduction.
 
-    Returns (n_comps * n_points, 4) B128 rows.
+    comp_specs: tuple of (compact expr, used multilinear indices). ALL of a
+    claim's compositions evaluate in ONE kernel so the halves split and the
+    extrapolations to the extra domain points are computed once and shared
+    (the per-composition version recomputed them n_comps times and paid
+    n_comps dispatches per round).
+
+    Returns (n_comps * n_points, 4) B128 rows, composition-major.
     """
     half = 1 << (log_padded - 1)
     act_half = active >> 1
@@ -85,17 +105,21 @@ def _round_values_jit(comps: tuple, levels: tuple, log_padded: int, order_high: 
             e1 = tower.embed(lvl, LEVEL, e1)
         halves.append((e0, e1))
     mask = _mask01(half, act_half, 1 if tower.has_limb_dim(LEVEL) else 0)
+    # evaluations of every multilinear at each domain point, shared by comps
+    at_point = []
+    for x in points:
+        if x == 0:
+            at_point.append([h[0] for h in halves])
+        elif x == 1:
+            at_point.append([h[1] for h in halves])
+        else:
+            xc = tower.full(LEVEL, (), x)
+            at_point.append([fold.extrapolate_line(LEVEL, h[0], h[1], xc)
+                             for h in halves])
     out_rows = []
-    for comp in comps:
-        for x in points:
-            if x == 0:
-                rows = [h[0] for h in halves]
-            elif x == 1:
-                rows = [h[1] for h in halves]
-            else:
-                xc = tower.full(LEVEL, (), x)
-                rows = [fold.extrapolate_line(LEVEL, h[0], h[1], xc) for h in halves]
-            v = comp.evaluate(LEVEL, rows)
+    for cexpr, used in comp_specs:
+        for rows_all in at_point:
+            v = cexpr.evaluate(LEVEL, [rows_all[u] for u in used])
             v = jnp.where(mask.astype(bool), v, jnp.zeros_like(v))
             out_rows.append(tower.xor_reduce(v, axis=0, spmd=spmd))
     return jnp.stack(out_rows)
@@ -155,10 +179,10 @@ class RegularSumcheckProver:
                         for lvl, d in multilinears]
         deg = claim.max_individual_degree()
         self.domain = EvaluationDomain.from_subspace(3, deg + 1)
-        # Pre-compact each composition to the multilinears it actually uses:
-        # one small jitted kernel per distinct composition STRUCTURE, shared
-        # across claims (e.g. all 24 Keccak round groups), instead of one
-        # giant graph per claim.
+        # Pre-compact each composition to the multilinears it actually uses;
+        # all of a claim's compositions then run in ONE kernel per round
+        # (shared halves/extrapolations), compiled once per distinct CLAIM
+        # structure + shape bucket (all 24 Keccak round groups share one).
         self._compact = []
         for cs in claim.composite_sums:
             used = sorted(cs.composition.expr.vars_used())
@@ -174,11 +198,22 @@ class RegularSumcheckProver:
         pts = self.domain.points
         n_pts = len(pts)
         active = jnp.uint32(1 << self.n_remaining)
+        if _batch_round_kernels() or len(self._compact) == 1:
+            levels = tuple(lvl for lvl, _ in self.mls)
+            datas = tuple(d for _, d in self.mls)
+            vals = _round_values_jit(tuple(self._compact), levels, self.log_padded,
+                                     self.order_high, datas, pts, active, self.spmd)
+            flat = tower.to_ints(LEVEL, vals)
+            return [self.domain.interpolate(LEVEL, flat[ci * n_pts:(ci + 1) * n_pts])
+                    for ci in range(len(self._compact))]
+        # per-composition kernels: tiny graphs compiled once per distinct
+        # composition STRUCTURE, shared across claims (XLA:CPU path)
         results = []
         for cexpr, used in self._compact:
-            levels = tuple(self.mls[v][0] for v in used)
-            datas = tuple(self.mls[v][1] for v in used)
-            results.append(_round_values_jit((cexpr,), levels, self.log_padded,
+            levels = tuple(self.mls[u][0] for u in used)
+            datas = tuple(self.mls[u][1] for u in used)
+            spec = ((cexpr, tuple(range(len(used)))),)
+            results.append(_round_values_jit(spec, levels, self.log_padded,
                                              self.order_high, datas, pts, active,
                                              self.spmd))
         out = []
