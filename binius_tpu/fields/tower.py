@@ -275,6 +275,45 @@ def mul(level: int, a, b):
     return fastmul.mul_collect(level, a, b)
 
 
+def _scale_u32_lanes(sub_level: int, x, y):
+    """x: uint32 lanes holding T_sub_level scalars; y: uint32 lanes whose
+    byte/halfword fields are T_sub-or-higher coordinates. Broadcasts."""
+    if sub_level == 5:
+        return mul(5, x, y)
+    if sub_level == 4:
+        lo = y & np.uint32(0xFFFF)
+        hi = y >> np.uint32(16)
+        return mul(4, x, lo) | (mul(4, x, hi) << np.uint32(16))
+    out = None
+    for k in range(4):
+        byte = (y >> np.uint32(8 * k)) & np.uint32(0xFF)
+        p = _mul_b8(x, byte) << np.uint32(8 * k)
+        out = p if out is None else out ^ p
+    return out
+
+
+def scale_subfield(sub_level: int, level: int, x, y):
+    """y * embed(x) for T_sub_level scalars x: multiplication by a subfield
+    scalar is coordinate-wise in ANY basis over that subfield, so this costs
+    2^(level-sub_level) subfield products instead of the full Karatsuba tree
+    (B8 scalar x B128: 16 base products vs 81). The analog of the
+    reference's `mul_by_subfield_scalar` specializations."""
+    if sub_level >= level:
+        return mul(level, x, y)
+    if sub_level == 0:
+        xb = x[..., None] if has_limb_dim(level) and not has_limb_dim(0) else x
+        return jnp.where(xb.astype(bool), jnp.broadcast_to(y, jnp.broadcast_shapes(xb.shape, y.shape)),
+                         np.uint32(0))
+    if level <= 5:
+        return _scale_u32_lanes(sub_level, x, y)
+    if sub_level <= 5:
+        return _scale_u32_lanes(sub_level, x[..., None], y)
+    # sub_level == 6, level == 7: two B64 coordinates
+    lo = mul(6, x, y[..., 0:2])
+    hi = mul(6, x, y[..., 2:4])
+    return jnp.concatenate([lo, hi], axis=-1)
+
+
 def square(level: int, a):
     if level <= 3:
         return jnp.take(_b8_square(), a, axis=0).astype(U32)

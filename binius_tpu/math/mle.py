@@ -131,8 +131,7 @@ def _batched_partial_high_data(level: int, stack, n_vars: int, eq, keep: int,
     if level == 0:
         p = jnp.where(d[..., None].astype(bool), jnp.broadcast_to(e, (k, 1 << kh, 1 << keep, eq.shape[-1])), jnp.uint32(0))
     else:
-        de = tower.embed(level, 7, d)
-        p = tower.mul(7, de, e)
+        p = tower.scale_subfield(level, 7, d, e)
     return tower.xor_reduce(p, axis=1, spmd=spmd)
 
 
@@ -173,8 +172,7 @@ def _batched_partial_low_data(level: int, stack, n_vars: int, coeffs, bind: int,
                       jnp.broadcast_to(e, (k, 1 << (n_vars - bind), 1 << bind,
                                            coeffs.shape[-1])), jnp.uint32(0))
     else:
-        de = tower.embed(level, 7, d)
-        p = tower.mul(7, de, e)
+        p = tower.scale_subfield(level, 7, d, e)
     return tower.xor_reduce(p, axis=2, spmd=spmd)
 
 

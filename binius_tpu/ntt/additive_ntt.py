@@ -213,19 +213,15 @@ def _transform_jit(data, data_level: int, tw_level: int, log_x: int, log_y: int,
         blocks = 1 << (log_y - 1 - i)
         inner = 1 << i
         view = d.reshape(tower.elem_shape(data_level, (shp[0], blocks, 2, inner, shp[2])))
-        if tower.has_limb_dim(data_level):
-            u, v = view[:, :, 0], view[:, :, 1]
-            t = tower.embed(tw_level, data_level, tw)[None, :, None, None, :]
-        else:
-            u, v = view[:, :, 0], view[:, :, 1]
-            t = tw[None, :, None, None]
-            if tw_level < data_level:
-                t = tower.embed(tw_level, data_level, t)
+        u, v = view[:, :, 0], view[:, :, 1]
+        t = tw[None, :, None, None]  # twiddles stay at their own level:
+        # subfield-scalar butterflies (scale_subfield) cost 2^(dl-tl)
+        # base products instead of the full Karatsuba tree
         if inverse:
             v = tower.add(data_level, v, u)
-            u = tower.add(data_level, u, tower.mul(data_level, t, v))
+            u = tower.add(data_level, u, tower.scale_subfield(tw_level, data_level, t, v))
         else:
-            u = tower.add(data_level, u, tower.mul(data_level, t, v))
+            u = tower.add(data_level, u, tower.scale_subfield(tw_level, data_level, t, v))
             v = tower.add(data_level, v, u)
         stacked = jnp.stack([u, v], axis=2)
         d = stacked.reshape(tower.elem_shape(data_level, shp))

@@ -177,9 +177,8 @@ def _fold_interleaved_jit(codeword, log_len: int, log_batch: int, tensor, fold_r
         pairs = d.reshape(tower.elem_shape(LEVEL, (1 << (L - 1), 2)))
         u = pairs[:, 0] if not tower.has_limb_dim(LEVEL) else pairs[:, 0, :]
         v = pairs[:, 1] if not tower.has_limb_dim(LEVEL) else pairs[:, 1, :]
-        t = tower.embed(ENC_LEVEL, LEVEL, tw)
         v2 = tower.add(LEVEL, v, u)
-        u2 = tower.add(LEVEL, u, tower.mul(LEVEL, t, v2))
+        u2 = tower.add(LEVEL, u, tower.scale_subfield(ENC_LEVEL, LEVEL, tw, v2))
         d = tower.add(LEVEL, u2, tower.mul(LEVEL, tower.add(LEVEL, u2, v2), r))
         L -= 1
     return d

@@ -174,8 +174,8 @@ def _uni_chunk_jit(data_level: int, k: int, n_cosets: int, dom_log: int,
     out = []
     for cexpr, used in compact:
         vals = cexpr.evaluate(data_level, [ext[u] for u in used])  # (chunk, P)
-        vb = tower.embed(data_level, LEVEL, vals)                  # (chunk, P, 4)
-        weighted = tower.mul(LEVEL, vb, eq_c[:, None, :])
+        # subfield-scalar scaling: 16 base products instead of 81
+        weighted = tower.scale_subfield(data_level, LEVEL, vals, eq_c[:, None, :])
         out.append(tower.xor_reduce(weighted, axis=0, spmd=spmd))     # (P, 4)
     return jnp.stack(out, axis=0)
 

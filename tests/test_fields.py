@@ -162,3 +162,23 @@ def test_native_scalar_matches_python():
                 assert sc.mul_py(level, a, inv) == 1
             e = rng.getrandbits(32)
             assert n_pow(level, a, e) == sc.pow_py(level, a, e)
+
+
+def test_scale_subfield_matches_mul():
+    """scale_subfield == mul(embed(x), y) across (sub_level, level) pairs."""
+    import random as _r
+
+    from binius_tpu.fields import scalar as sc
+    from binius_tpu.fields import tower as tw
+
+    rng = _r.Random(123)
+    for sub in range(0, 7):
+        for lvl in range(sub, 8):
+            n = 32
+            xs = [rng.getrandbits(1 << sub) for _ in range(n)]
+            ys = [rng.getrandbits(1 << lvl) for _ in range(n)]
+            xd = tw.from_ints(sub, xs)
+            yd = tw.from_ints(lvl, ys)
+            got = tw.to_ints(lvl, tw.scale_subfield(sub, lvl, xd, yd))
+            want = [sc.mul(lvl, x, y) for x, y in zip(xs, ys)]
+            assert got == want, (sub, lvl)
