@@ -50,11 +50,17 @@ class _PhaseTimer:
     def __init__(self, what: str):
         self.what = what
         self.times: dict = {}
+        self.sizes: dict = {}  # per-phase proof bytes (`prove.rs:596-602`)
         self._t0 = time.perf_counter()
         self._cur = None
+        self._tape_mark = None
+        self._transcript = None
 
-    def phase(self, name: str) -> None:
+    def phase(self, name: str, transcript=None) -> None:
         self._finish()
+        self._tape_mark = (len(transcript._tape) if transcript is not None
+                           else None)
+        self._transcript = transcript
         self._cur = (name, time.perf_counter())
 
     def _finish(self) -> None:
@@ -63,8 +69,14 @@ class _PhaseTimer:
             dt = time.perf_counter() - t0
             self.times[name] = self.times.get(name, 0.0) + dt
             tracing.record(f"{self.what}.{name}", t0, dt)
+            size = ""
+            if getattr(self, "_tape_mark", None) is not None:
+                nb = len(self._transcript._tape) - self._tape_mark
+                self.sizes[name] = self.sizes.get(name, 0) + nb
+                size = f", {nb} proof bytes"
             if _TRACE_PHASES:
-                print(f"[{self.what}] phase {name}: {dt * 1e3:.1f} ms", flush=True)
+                print(f"[{self.what}] phase {name}: {dt * 1e3:.1f} ms{size}",
+                      flush=True)
             self._cur = None
 
     def done(self) -> dict:
@@ -72,12 +84,14 @@ class _PhaseTimer:
         self.times["total"] = time.perf_counter() - self._t0
         if _TRACE_PHASES:
             print(f"[{self.what}] total: {self.times['total'] * 1e3:.1f} ms", flush=True)
-        global last_phase_times
+        global last_phase_times, last_phase_sizes
         last_phase_times = dict(self.times)
+        last_phase_sizes = dict(self.sizes)
         return self.times
 
 
 last_phase_times: dict = {}
+last_phase_sizes: dict = {}
 
 
 @dataclasses.dataclass
@@ -262,7 +276,7 @@ def prove(system: ConstraintSystem, witness: dict, boundaries: list = (),
                    for oid, (lvl, data) in witness.items()}
 
     # --- commit phase ---
-    timer.phase("commit")
+    timer.phase("commit", transcript)
     # exp-result columns are committed but prover-computed (`exp.rs:118`)
     exp_witnesses = exp_mod.make_exp_witnesses(system, witness)
     layout = CommitLayout.from_system(system)
@@ -279,11 +293,11 @@ def prove(system: ConstraintSystem, witness: dict, boundaries: list = (),
     transcript.message().write_bytes(tree.root)
 
     # --- exponentiation phase (`prove.rs:236-274`) ---
-    timer.phase("exp")
+    timer.phase("exp", transcript)
     exp_ec_claims = exp_mod.prove_phase(system, witness, exp_witnesses, transcript)
 
     # --- channel / non-zero (grand product) phase ---
-    timer.phase("gpa")
+    timer.phase("gpa", transcript)
     gpa_ec_claims = []
     if system.flushes or system.non_zero_claims:
         alpha = transcript.sample_scalar(LEVEL)
@@ -311,7 +325,7 @@ def prove(system: ConstraintSystem, witness: dict, boundaries: list = (),
             gpa_ec_claims.append(evalcheck.EvalcheckClaim(oid, tuple(pt), ev))
 
     # --- zerocheck phase ---
-    timer.phase("zerocheck")
+    timer.phase("zerocheck", transcript)
     skip = _zerocheck_skip(system)
     if skip > 0:
         sets, claims = _zerocheck_claims(system, ascending=True)
@@ -330,17 +344,17 @@ def prove(system: ConstraintSystem, witness: dict, boundaries: list = (),
     ec_claims += exp_ec_claims
 
     # --- evalcheck phase ---
-    timer.phase("evalcheck")
+    timer.phase("evalcheck", transcript)
     committed_claims = evalcheck.prove(system.oracles, witness, ec_claims, transcript)
 
     # --- ring switch ---
-    timer.phase("ring_switch")
+    timer.phase("ring_switch", transcript)
     rs_claims = _ring_switch_claims(system, layout, committed_claims)
     witnesses_by_idx = [witness[oid] for oid in layout.oracle_ids]
     reduced = ring_switch.prove(rs_claims, witnesses_by_idx, transcript)
 
     # --- PIOP ---
-    timer.phase("piop")
+    timer.phase("piop", transcript)
     piop.prove(fri_params, layout.commit_meta, codeword, tree, packed_mles,
                reduced.transparent_mles, reduced.sumcheck_claims, transcript)
     out = transcript.finalize()
