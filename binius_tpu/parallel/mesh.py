@@ -72,9 +72,10 @@ def mesh_of(x) -> Mesh | None:
 def put_row_sharded(mesh: Mesh, level: int, data, min_elems: int = MIN_SHARD_ELEMS):
     """Place a multilinear on the mesh: element (leading) axis sharded when
     large and divisible, replicated otherwise."""
-    n = tower.batch_shape(level, data)[0] if data.ndim else 1
+    bshape = tower.batch_shape(level, data) if data.ndim else ()
+    n = bshape[0] if bshape else 1
     n_dev = mesh.devices.size
-    if data.ndim and n >= max(min_elems, n_dev) and n % n_dev == 0:
+    if bshape and n >= max(min_elems, n_dev) and n % n_dev == 0:
         spec = P(AXIS, *([None] * (data.ndim - 1)))
     else:
         spec = P(*([None] * data.ndim))
