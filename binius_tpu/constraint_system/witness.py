@@ -31,10 +31,9 @@ def materialize(oracles: om.OracleSet, witness: dict, oid: int):
         acc = tower.full(LEVEL, (1 << o.n_vars,), o.lc_offset)
         for iid, coeff in zip(o.inner, o.lc_coeffs):
             ilvl, idata = materialize(oracles, witness, iid)
-            if ilvl < LEVEL:
-                idata = tower.embed(ilvl, LEVEL, idata)
             c = tower.from_ints(LEVEL, [coeff])[0]
-            acc = tower.add(LEVEL, acc, tower.mul(LEVEL, idata, c))
+            # subfield data x B128 coefficient: coordinate-wise scale
+            acc = tower.add(LEVEL, acc, tower.scale_subfield(ilvl, LEVEL, idata, c))
         out = (LEVEL, acc)
     elif o.variant == om.SHIFTED:
         ilvl, idata = materialize(oracles, witness, o.inner[0])
@@ -57,13 +56,12 @@ def materialize(oracles: om.OracleSet, witness: dict, oid: int):
     elif o.variant == om.PROJECTED:
         from ..math import mle
         ilvl, idata = materialize(oracles, witness, o.inner[0])
-        if ilvl < LEVEL:
-            idata = tower.embed(ilvl, LEVEL, idata)
         nb = len(o.proj_values)
         lo, hi = o.start_index, oracles[o.inner[0]].n_vars - o.start_index - nb
         eq = mle.eq_ind_partial_eval(LEVEL, tower.from_ints(LEVEL, list(o.proj_values)))
-        d = idata.reshape(1 << hi, 1 << nb, 1 << lo, tower.n_limbs(LEVEL))
-        folded = tower.inner_product(LEVEL, d, eq[None, :, None, :], axis=1)
+        d = idata.reshape(tower.elem_shape(ilvl, (1 << hi, 1 << nb, 1 << lo)))
+        prod = tower.scale_subfield(ilvl, LEVEL, d, eq[None, :, None, :])
+        folded = tower.xor_reduce(prod, axis=1)
         out = (LEVEL, folded.reshape((1 << o.n_vars, tower.n_limbs(LEVEL))))
     elif o.variant == om.ZERO_PADDED:
         ilvl, idata = materialize(oracles, witness, o.inner[0])
