@@ -125,6 +125,54 @@ def _round_values_jit(comp_specs: tuple, levels: tuple, log_padded: int, order_h
     return jnp.stack(out_rows)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 4, 6))
+def _round_values_stacked_jit(comp_specs: tuple, log_padded: int, order_high: bool,
+                              stack, points: tuple, active, spmd: bool = False):
+    """Stacked variant of `_round_values_jit`: the claim's multilinears live
+    in ONE (m, padded, 4) B128 array (built after the first fold), so the
+    whole round is a single dispatch on both backends."""
+    half = 1 << (log_padded - 1)
+    act_half = active >> 1
+    if order_high:
+        e0 = jax.lax.slice_in_dim(stack, 0, half, axis=1)
+        e1 = jax.lax.dynamic_slice_in_dim(stack, act_half, half, axis=1)
+    else:
+        d = stack.reshape(stack.shape[0], half, 2, 4)
+        e0, e1 = d[:, :, 0, :], d[:, :, 1, :]
+    mask = _mask01(half, act_half, 1)
+    at_point = []
+    for x in points:
+        if x == 0:
+            at_point.append(e0)
+        elif x == 1:
+            at_point.append(e1)
+        else:
+            xc = tower.full(LEVEL, (), x)
+            at_point.append(fold.extrapolate_line(LEVEL, e0, e1, xc))
+    out_rows = []
+    for cexpr, used in comp_specs:
+        for ev in at_point:
+            v = cexpr.evaluate(LEVEL, [ev[u] for u in used])
+            v = jnp.where(mask.astype(bool), v, jnp.zeros_like(v))
+            out_rows.append(tower.xor_reduce(v, axis=0, spmd=spmd))
+    return jnp.stack(out_rows)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 5, 7))
+def _round_values_stacked_take_jit(cexpr, log_padded: int, order_high: bool,
+                                   stack, used_idx, points: tuple, active,
+                                   spmd: bool = False):
+    """Per-composition stacked round evals with TRACED row indices: the
+    kernel compiles once per (composition structure, shape) and is reused
+    across every composition and claim with that arity; only the used rows
+    are gathered, halved, and extrapolated."""
+    sub = jnp.take(stack, used_idx, axis=0)
+    arity = used_idx.shape[0]
+    return _round_values_stacked_jit.__wrapped__(
+        ((cexpr, tuple(range(arity))),), log_padded, order_high, sub, points,
+        active, spmd)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1, 2))
 def _fold_jit(level: int, log_padded: int, order_high: bool, data, r, active):
     """Fold one variable on a padded buffer; result stays padded at the same
@@ -177,6 +225,7 @@ class RegularSumcheckProver:
         else:
             self.mls = [(lvl, _pad_to(lvl, d, self.log_padded))
                         for lvl, d in multilinears]
+        self._stack = None  # (m, padded, 4) after the first fold
         deg = claim.max_individual_degree()
         self.domain = EvaluationDomain.from_subspace(3, deg + 1)
         # Pre-compact each composition to the multilinears it actually uses;
@@ -198,6 +247,27 @@ class RegularSumcheckProver:
         pts = self.domain.points
         n_pts = len(pts)
         active = jnp.uint32(1 << self.n_remaining)
+        if self._stack is not None:
+            if _batch_round_kernels() or len(self._compact) == 1:
+                vals = _round_values_stacked_jit(tuple(self._compact), self.log_padded,
+                                                 self.order_high, self._stack, pts,
+                                                 active, self.spmd)
+                flat = tower.to_ints(LEVEL, vals)
+                return [self.domain.interpolate(LEVEL, flat[ci * n_pts:(ci + 1) * n_pts])
+                        for ci in range(len(self._compact))]
+            # per-composition dispatch on the shared stack (XLA:CPU):
+            # traced row indices -> one compile per composition STRUCTURE,
+            # reused across comps/claims; only used rows are extrapolated
+            out = []
+            for cexpr, used in self._compact:
+                used_idx = jnp.asarray(np.array(used, dtype=np.int32))
+                vals = _round_values_stacked_take_jit(cexpr, self.log_padded,
+                                                      self.order_high, self._stack,
+                                                      used_idx, pts, active,
+                                                      self.spmd)
+                flat = tower.to_ints(LEVEL, vals)
+                out.append(self.domain.interpolate(LEVEL, flat[:n_pts]))
+            return out
         if _batch_round_kernels() or len(self._compact) == 1:
             levels = tuple(lvl for lvl, _ in self.mls)
             datas = tuple(d for _, d in self.mls)
@@ -227,6 +297,16 @@ class RegularSumcheckProver:
         if self.spmd:
             ch = mesh_mod.put_replicated(self.mesh, ch)
         active = jnp.uint32(1 << self.n_remaining)
+        if self._stack is not None:
+            self._stack = _biv_fold_jit(self.log_padded, self.order_high,
+                                        self._stack, ch, active)
+            self.n_remaining -= 1
+            target = max(_bucket_log(self.n_remaining), 0)
+            if self.log_padded > target:
+                self._stack = jax.lax.slice_in_dim(self._stack, 0, 1 << target,
+                                                   axis=1)
+                self.log_padded = target
+            return
         new = []
         for lvl, data in self.mls:
             folded = _fold_jit(lvl, self.log_padded, self.order_high, data, ch, active)
@@ -241,10 +321,21 @@ class RegularSumcheckProver:
                    for lvl, d in new]
             self.log_padded = target
         self.mls = new
+        if _batch_round_kernels():
+            # after the first fold everything is B128: move to ONE stacked
+            # array so each further round is a single round-eval + a single
+            # fold dispatch (was ~n_mls + n_comps host round-trips — the
+            # dominant cost over the TPU tunnel at small sizes). On XLA:CPU
+            # the per-ml buffers win (gather traffic > dispatch savings,
+            # measured keccak 2^6 stage2: 29 s per-ml vs 51 s stacked).
+            self._stack = jnp.stack([d for _, d in self.mls], axis=0)
+            self.mls = None
 
     def finish(self) -> list[int]:
         """Multilinear evaluations at the bound point (all rounds folded)."""
         assert self.n_remaining == 0
+        if self._stack is not None:
+            return tower.to_ints(LEVEL, self._stack[:, 0, :])
         out = []
         for lvl, data in self.mls:
             out.append(tower.to_ints(lvl, data)[0])
