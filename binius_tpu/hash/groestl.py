@@ -269,9 +269,16 @@ class Groestl256:
     def update(self, data: bytes) -> "Groestl256":
         self._buf.extend(data)
         self._n_bytes += len(data)
-        while len(self._buf) >= 64:
-            self._h = _compress_cols(self._h, _bytes_to_cols(self._buf[:64]))
-            del self._buf[:64]
+        n_blocks = len(self._buf) // 64
+        if n_blocks:
+            blocks = bytes(self._buf[:n_blocks * 64])
+            h = compress_seq_native(self._h, blocks)
+            if h is None:
+                h = self._h
+                for i in range(n_blocks):
+                    h = _compress_cols(h, _bytes_to_cols(blocks[i * 64:(i + 1) * 64]))
+            self._h = h
+            del self._buf[:n_blocks * 64]
         return self
 
     def copy(self) -> "Groestl256":
@@ -295,17 +302,125 @@ def compress_pairs(pairs: np.ndarray, xp=np) -> np.ndarray:
     The Grøstl output transformation applied to the concatenated digests:
     trunc_256(P(a||b) ^ (a||b)) — exactly `Groestl256ByteCompression`
     (`crates/hash/src/groestl/compression.rs:24-36`, Matyas-Meyer-Oseas).
-    Small host batches route through the T-table integer path: the verifier
-    compresses one pair at a time per Merkle level, where numpy per-op
-    overhead is ~100x the work.
+    Host batches route through the native C T-table path when available
+    (pure-Python fallback below); device batches stay vectorized.
     """
-    if xp is np and pairs.ndim == 2 and pairs.shape[0] <= 8:
-        out = np.empty((pairs.shape[0], 32), dtype=np.uint8)
-        for i in range(pairs.shape[0]):
-            cols = _bytes_to_cols(pairs[i].tobytes())
-            x = _permute_cols(cols, False)
-            out[i] = np.frombuffer(
-                _cols_to_bytes([a ^ b for a, b in zip(x, cols)])[32:], dtype=np.uint8)
-        return out
+    if xp is np:
+        lib = _native_lib()
+        if lib is not None:
+            flat = np.ascontiguousarray(pairs.reshape(-1, 64)).astype(
+                np.uint8, copy=False)
+            out = np.empty((flat.shape[0], 32), dtype=np.uint8)
+            lib.groestl_compress_pairs(_ptr8(flat), flat.shape[0], _ptr8(out))
+            return out.reshape(*pairs.shape[:-1], 32)
+        if pairs.ndim == 2 and pairs.shape[0] <= 8:
+            out = np.empty((pairs.shape[0], 32), dtype=np.uint8)
+            for i in range(pairs.shape[0]):
+                cols = _bytes_to_cols(pairs[i].tobytes())
+                x = _permute_cols(cols, False)
+                out[i] = np.frombuffer(
+                    _cols_to_bytes([a ^ b for a, b in zip(x, cols)])[32:],
+                    dtype=np.uint8)
+            return out
     m = bytes_to_state(pairs)
     return state_to_bytes(_permute(m, False, xp) ^ m)[..., 32:]
+
+
+# ---------------------------------------------------------------------------
+# Native C dispatch (host hot path; see ../native/groestl.c). The reference
+# runs its challenger/Merkle hashing in native Rust; the tables the C core
+# uses are the ones derived from first principles above — no constants live
+# in C. BINIUS_NO_NATIVE=1 forces pure Python.
+# ---------------------------------------------------------------------------
+
+import ctypes as _ctypes
+
+
+def _ptr64(a: np.ndarray):
+    return a.ctypes.data_as(_ctypes.POINTER(_ctypes.c_uint64))
+
+
+def _ptr8(a: np.ndarray):
+    return a.ctypes.data_as(_ctypes.POINTER(_ctypes.c_uint8))
+
+
+@functools.lru_cache(maxsize=None)
+def _native_lib():
+    from .. import native as native_mod
+
+    lib = native_mod.get_lib()
+    if lib is None:
+        return None
+    t = np.array(_ttables(), dtype=np.uint64)
+    pc, qc = _col_consts()
+    pcs = np.array(pc, dtype=np.uint64)
+    qcs = np.array(qc, dtype=np.uint64)
+    sp = np.array(SHIFTS_P, dtype=np.int32)
+    sq = np.array(SHIFTS_Q, dtype=np.int32)
+    lib.groestl_init(_ptr64(t), _ptr64(pcs), _ptr64(qcs),
+                     sp.ctypes.data_as(_ctypes.POINTER(_ctypes.c_int32)),
+                     sq.ctypes.data_as(_ctypes.POINTER(_ctypes.c_int32)))
+    return lib
+
+
+def _iv_cols_np() -> np.ndarray:
+    return np.frombuffer(IV_256.tobytes(), dtype=np.uint64).copy()
+
+
+_py_permute_cols = _permute_cols
+_py_compress_cols = _compress_cols
+_py_groestl256 = groestl256
+
+
+def _permute_cols(cols: list[int], is_q: bool) -> list[int]:  # noqa: F811
+    lib = _native_lib()
+    if lib is None:
+        return _py_permute_cols(cols, is_q)
+    a = np.array(cols, dtype=np.uint64)
+    lib.groestl_permute(_ptr64(a), int(is_q))
+    return [int(x) for x in a]
+
+
+def _compress_cols(h: list[int], m: list[int]) -> list[int]:  # noqa: F811
+    lib = _native_lib()
+    if lib is None:
+        return _py_compress_cols(h, m)
+    ah = np.array(h, dtype=np.uint64)
+    am = np.array(m, dtype=np.uint64)
+    lib.groestl_compress(_ptr64(ah), _ptr64(am))
+    return [int(x) for x in ah]
+
+
+def groestl256(data: bytes) -> bytes:  # noqa: F811
+    lib = _native_lib()
+    if lib is None:
+        return _py_groestl256(data)
+    iv = _iv_cols_np()
+    buf = np.frombuffer(bytes(data), dtype=np.uint8)
+    out = np.empty(32, dtype=np.uint8)
+    lib.groestl_digest(_ptr64(iv), _ptr8(buf), len(data), _ptr8(out))
+    return out.tobytes()
+
+
+def digest_rows_native(blobs: np.ndarray) -> np.ndarray | None:
+    """Batch Grøstl-256 of equal-length rows via C, or None w/o the lib."""
+    lib = _native_lib()
+    if lib is None:
+        return None
+    blobs = np.ascontiguousarray(blobs).astype(np.uint8, copy=False)
+    n, length = blobs.shape
+    iv = _iv_cols_np()
+    out = np.empty((n, 32), dtype=np.uint8)
+    lib.groestl_digest_batch(_ptr64(iv), _ptr8(blobs), n, length, _ptr8(out))
+    return out
+
+
+def compress_seq_native(h: list[int], blocks: bytes) -> list[int] | None:
+    """Absorb len(blocks)/64 blocks into column state h via C, or None."""
+    lib = _native_lib()
+    if lib is None:
+        return None
+    ah = np.array(h, dtype=np.uint64)
+    buf = np.frombuffer(blocks, dtype=np.uint8)
+    lib.groestl_compress_seq(_ptr64(ah), _ptr8(buf), len(blocks) // 64)
+    return [int(x) for x in ah]

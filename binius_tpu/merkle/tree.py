@@ -29,6 +29,10 @@ def hash_leaves(blobs: np.ndarray) -> np.ndarray:
 
 
 def _hash_leaves_np(blobs: np.ndarray) -> np.ndarray:
+    from ..hash.groestl import digest_rows_native
+    out = digest_rows_native(blobs)
+    if out is not None:
+        return out
     n, length = blobs.shape
     if n <= 8:
         # per-query verifier path: the T-table integer implementation beats

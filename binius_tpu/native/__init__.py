@@ -15,16 +15,20 @@ _TRIED = False
 
 
 def _build_and_load():
-    src = os.path.join(os.path.dirname(os.path.abspath(__file__)), "b128.c")
-    with open(src, "rb") as f:
-        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    here = os.path.dirname(os.path.abspath(__file__))
+    srcs = [os.path.join(here, f) for f in ("b128.c", "groestl.c")]
+    h = hashlib.sha256()
+    for src in srcs:
+        with open(src, "rb") as f:
+            h.update(f.read())
+    digest = h.hexdigest()[:16]
     cache_dir = os.path.join(tempfile.gettempdir(), "binius_tpu_native")
     os.makedirs(cache_dir, exist_ok=True)
     so = os.path.join(cache_dir, f"b128_{digest}.so")
     if not os.path.exists(so):
         tmp = so + f".tmp{os.getpid()}"
         subprocess.run(
-            ["cc", "-O2", "-shared", "-fPIC", "-o", tmp, src],
+            ["cc", "-O2", "-shared", "-fPIC", "-o", tmp, *srcs],
             check=True, capture_output=True)
         os.replace(tmp, so)
     lib = ctypes.CDLL(so)
@@ -36,6 +40,18 @@ def _build_and_load():
     lib.tower_pow.argtypes = [ctypes.c_int, u64, u64, u64, p64]
     lib.tower_mul_batch.argtypes = [ctypes.c_int, p64, p64, p64, ctypes.c_size_t]
     lib.tower_dot_b128.argtypes = [p64, p64, ctypes.c_size_t, p64]
+    p8 = ctypes.POINTER(ctypes.c_uint8)
+    p32 = ctypes.POINTER(ctypes.c_int32)
+    sz = ctypes.c_size_t
+    lib.groestl_init.argtypes = [p64, p64, p64, p32, p32]
+    lib.groestl_permute.argtypes = [p64, ctypes.c_int]
+    lib.groestl_compress.argtypes = [p64, p64]
+    lib.groestl_compress_seq.argtypes = [p64, p8, sz]
+    lib.groestl_output_transform.argtypes = [p64, p8]
+    lib.groestl_digest.argtypes = [p64, p8, sz, p8]
+    lib.groestl_digest_batch.argtypes = [p64, p8, sz, sz, p8]
+    lib.groestl_compress_pairs.argtypes = [p8, sz, p8]
+    lib.groestl_tree_layers.argtypes = [p8, sz, p8]
     lib.tower_init()
     return lib
 

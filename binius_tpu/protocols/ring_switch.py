@@ -281,6 +281,91 @@ def ring_switch_eq_ind_eval(level: int, suffix: list[int], mix: int,
     return acc.fold_vertical(row_coeffs)
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def _eq_ind_eval_batch_jit(level: int, zs, qs, mixes, rc):
+    """Batched ring_switch_eq_ind_eval for n claims sharing one query point:
+    zs (k, n, limbs) per-claim suffixes, qs (k, limbs) query, mixes
+    (n, limbs), rc (2^kappa, limbs) row coeffs; returns (n, limbs) evals.
+
+    Same tensor-algebra recursion as the scalar path, vectorized over claims
+    with a lax.scan over the k steps (one traced body regardless of k), with
+    transposes realized as subfield split / axis-swap / join (the coordinate
+    matrix of each element). A (z=0, q=0) step is the identity, so callers
+    pad k freely for kernel reuse.
+    """
+
+    def transpose(a):
+        coords = tower.split_to_subfield(LEVEL, level, a)
+        return tower.join_from_subfield(LEVEL, level, jnp.swapaxes(coords, 1, 2))
+
+    n = mixes.shape[0]
+    acc = tower.zeros(LEVEL, (n, 1 << (7 - level)))
+    acc = acc.at[:, 0].set(mixes)
+
+    def step(acc, zq):
+        z, q = zq
+        vert = tower.mul(LEVEL, acc, z[:, None])
+        hztl = transpose(tower.mul(LEVEL, transpose(acc), q[None, None]))
+        return acc ^ vert ^ hztl, None
+
+    acc, _ = jax.lax.scan(step, acc, (zs, qs))
+    return tower.inner_product(LEVEL, transpose(acc), rc[None], axis=1)
+
+
+def ring_switch_eq_ind_eval_batch(level: int, suffixes: list, mixes: list[int],
+                                  row_coeffs: list[int],
+                                  query: list[int]) -> list[int]:
+    """Evaluate A for many claims (same level, same suffix length) at one
+    shared query point with a single device kernel. Claim count and step
+    count are padded to powers of two so kernels are reused across groups."""
+    n = len(mixes)
+    k = len(query)
+    assert all(len(s) == k for s in suffixes)
+    pad_n = 1 << max(0, (n - 1).bit_length())
+    pad_k = 1 << max(0, (k - 1).bit_length())
+    flat = [0] * (pad_k * pad_n)
+    for i, s in enumerate(suffixes):
+        for j in range(k):
+            flat[j * pad_n + i] = s[j]
+    zs = tower.from_ints(LEVEL, flat)
+    zs = zs.reshape(tower.elem_shape(LEVEL, (pad_k, pad_n)))
+    qs = tower.from_ints(LEVEL, list(query) + [0] * (pad_k - k))
+    mx = tower.from_ints(LEVEL, list(mixes) + [0] * (pad_n - n))
+    rc = tower.from_ints(LEVEL, list(row_coeffs[:1 << (7 - level)]))
+    out = _eq_ind_eval_batch_jit(level, zs, qs, mx, rc)
+    return tower.to_ints(LEVEL, out)[:n]
+
+
+class _BatchedEqIndEvals:
+    """Lazy group-batched evaluator behind the verifier's per-claim transparent
+    eval closures: the PIOP verifier queries every claim of a (level, k) group
+    at the same final-challenge point, so the first query computes the whole
+    group in one kernel and the rest are dictionary hits."""
+
+    def __init__(self, claims, mixing, row_coeffs):
+        self._row_coeffs = row_coeffs
+        self._groups: dict = {}
+        self._members: dict = {}
+        for i, (c, m) in enumerate(zip(claims, mixing)):
+            key = (c.level, len(c.suffix))
+            self._groups.setdefault(key, []).append((i, list(c.suffix), m))
+            self._members[i] = key
+        self._cache: dict = {}
+
+    def eval(self, i: int, query: list[int]) -> int:
+        key = (self._members[i], tuple(query))
+        got = self._cache.get(key)
+        if got is None:
+            members = self._groups[self._members[i]]
+            level, _k = self._members[i]
+            vals = ring_switch_eq_ind_eval_batch(
+                level, [s for _, s, _ in members], [m for _, _, m in members],
+                self._row_coeffs, list(query))
+            got = {j: v for (j, _, _), v in zip(members, vals)}
+            self._cache[key] = got
+        return got[i]
+
+
 # ---------------------------------------------------------------------------
 # Prove / verify
 # ---------------------------------------------------------------------------
@@ -474,14 +559,11 @@ def verify(claims: list[RingSwitchEvalClaim], transcript) -> ReducedRingSwitch:
     for t, want in zip(tensor_elems, mixed_rb):
         if t.fold_vertical(row_coeffs) != want:
             raise ValueError("ring switch: row-batched sum mismatch")
-    transparents = []
-    for c, m in zip(claims, mixing):
-        suffix = list(c.suffix)
-        transparents.append((
-            len(suffix),
-            (lambda lvl, sfx, mm: lambda q: ring_switch_eq_ind_eval(
-                lvl, sfx, mm, row_coeffs, q))(c.level, suffix, m),
-        ))
+    batched = _BatchedEqIndEvals(claims, mixing, row_coeffs)
+    transparents = [
+        (len(c.suffix), (lambda i: lambda q: batched.eval(i, q))(i))
+        for i, c in enumerate(claims)
+    ]
     sc = [PIOPSumcheckClaim(len(c.suffix), c.committed_idx, i, rb)
           for i, (c, rb) in enumerate(zip(claims, row_batched))]
     return ReducedRingSwitch(sc, transparents)
