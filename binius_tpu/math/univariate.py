@@ -110,10 +110,37 @@ def _tree_prod(level: int, a, axis: int):
     return a[0]
 
 
+def _points_to_pairs(points: tuple) -> np.ndarray:
+    m = np.empty((len(points), 2), dtype=np.uint64)
+    for i, p in enumerate(points):
+        m[i, 0] = p & 0xFFFFFFFFFFFFFFFF
+        m[i, 1] = p >> 64
+    return m
+
+
+def _native_lib():
+    from .. import native as native_mod
+
+    return native_mod.get_lib()
+
+
+def _p64(a: np.ndarray):
+    import ctypes
+
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+
+
 @functools.lru_cache(maxsize=None)
 def _barycentric_weights_np(points: tuple) -> np.ndarray:
     """w_i = 1 / prod_{j != i} (x_i + x_j) as (n, 4) uint32 limbs (B128)."""
     n = len(points)
+    lib = _native_lib()
+    if lib is not None:
+        # O(n^2) host muls in C: no device kernel, no compile cost.
+        pts = np.ascontiguousarray(_points_to_pairs(points))
+        out = np.empty((n, 2), dtype=np.uint64)
+        lib.tower_barycentric_weights(_p64(pts), n, _p64(out))
+        return out.view(np.uint32).reshape(n, 4)
     xs = tower.from_ints(7, list(points))
     diff = xs[:, None, :] ^ xs[None, :, :]
     eye = jnp.asarray(np.eye(n, dtype=bool))
@@ -138,13 +165,31 @@ def _lagrange_evals_jit(xs, w, z):
     return tower.mul(7, w, tower.mul(7, pre_excl, suf_excl))
 
 
-def lagrange_evals_device(points: tuple, z: int):
-    """Device (n, 4) B128 array of Lagrange basis evals L_i(z) over `points`
-    (canonical ints). Weights are cached per domain."""
-    w = jnp.asarray(_barycentric_weights_np(tuple(points)))
+def lagrange_evals_np(points: tuple, z: int) -> np.ndarray:
+    """Host (n, 4) uint32 B128 array of Lagrange basis evals L_i(z)."""
+    points = tuple(points)
+    n = len(points)
+    lib = _native_lib()
+    w = _barycentric_weights_np(points)
+    if lib is not None:
+        pts = np.ascontiguousarray(_points_to_pairs(points))
+        wp = np.ascontiguousarray(w.view(np.uint64).reshape(n, 2))
+        scratch = np.empty((4 * n,), dtype=np.uint64)
+        out = np.empty((n, 2), dtype=np.uint64)
+        lib.tower_lagrange_evals(_p64(pts), _p64(wp), n,
+                                 z & 0xFFFFFFFFFFFFFFFF, z >> 64,
+                                 _p64(scratch), _p64(out))
+        return out.view(np.uint32).reshape(n, 4)
     xs = tower.from_ints(7, list(points))
     zz = tower.from_ints(7, [z])[0]
-    return _lagrange_evals_jit(xs, w, zz)
+    return np.asarray(jax.device_get(_lagrange_evals_jit(xs, jnp.asarray(w), zz)))
+
+
+def lagrange_evals_device(points: tuple, z: int):
+    """Device (n, 4) B128 array of Lagrange basis evals L_i(z) over `points`
+    (canonical ints). Weights are cached per domain; the element math runs
+    as native host code (O(n) muls — far below any compile cost)."""
+    return jnp.asarray(lagrange_evals_np(tuple(points), z))
 
 
 def evaluate_univariate(level: int, coeffs: list[int], z: int) -> int:

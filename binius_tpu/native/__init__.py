@@ -40,6 +40,9 @@ def _build_and_load():
     lib.tower_pow.argtypes = [ctypes.c_int, u64, u64, u64, p64]
     lib.tower_mul_batch.argtypes = [ctypes.c_int, p64, p64, p64, ctypes.c_size_t]
     lib.tower_dot_b128.argtypes = [p64, p64, ctypes.c_size_t, p64]
+    lib.tower_barycentric_weights.argtypes = [p64, ctypes.c_size_t, p64]
+    lib.tower_lagrange_evals.argtypes = [p64, p64, ctypes.c_size_t, u64, u64,
+                                         p64, p64]
     p8 = ctypes.POINTER(ctypes.c_uint8)
     p32 = ctypes.POINTER(ctypes.c_int32)
     sz = ctypes.c_size_t

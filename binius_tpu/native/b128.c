@@ -229,6 +229,55 @@ void tower_mul_batch(int level, const uint64_t *a, const uint64_t *b,
         m128(a[2 * i], a[2 * i + 1], b[2 * i], b[2 * i + 1], out + 2 * i);
 }
 
+/* Barycentric weights w_i = 1 / prod_{j != i} (x_i ^ x_j) over B128 points
+ * given as (lo, hi) pairs. O(n^2) multiplies + n inverts; host-side domain
+ * setup for univariate-skip Lagrange interpolation. */
+void tower_barycentric_weights(const uint64_t *pts, size_t n, uint64_t *out) {
+    uint64_t t[2];
+    for (size_t i = 0; i < n; i++) {
+        uint64_t p0 = 1, p1 = 0;
+        for (size_t j = 0; j < n; j++) {
+            if (j == i)
+                continue;
+            m128(p0, p1, pts[2 * i] ^ pts[2 * j], pts[2 * i + 1] ^ pts[2 * j + 1], t);
+            p0 = t[0];
+            p1 = t[1];
+        }
+        tower_invert(7, p0, p1, out + 2 * i);
+    }
+}
+
+/* L_i(z) for all i via exclusive prefix/suffix products of (z ^ x_j):
+ * handles z landing on a domain point without division. scratch must hold
+ * 4*n uint64 (caller-provided to keep this allocation-free). */
+void tower_lagrange_evals(const uint64_t *pts, const uint64_t *w, size_t n,
+                          uint64_t zlo, uint64_t zhi, uint64_t *scratch,
+                          uint64_t *out) {
+    uint64_t *pre = scratch, *suf = scratch + 2 * n;
+    uint64_t t[2];
+    uint64_t p0 = 1, p1 = 0;
+    for (size_t i = 0; i < n; i++) {
+        pre[2 * i] = p0;
+        pre[2 * i + 1] = p1;
+        m128(p0, p1, zlo ^ pts[2 * i], zhi ^ pts[2 * i + 1], t);
+        p0 = t[0];
+        p1 = t[1];
+    }
+    p0 = 1;
+    p1 = 0;
+    for (size_t i = n; i-- > 0;) {
+        suf[2 * i] = p0;
+        suf[2 * i + 1] = p1;
+        m128(p0, p1, zlo ^ pts[2 * i], zhi ^ pts[2 * i + 1], t);
+        p0 = t[0];
+        p1 = t[1];
+    }
+    for (size_t i = 0; i < n; i++) {
+        m128(pre[2 * i], pre[2 * i + 1], suf[2 * i], suf[2 * i + 1], t);
+        m128(t[0], t[1], w[2 * i], w[2 * i + 1], out + 2 * i);
+    }
+}
+
 /* out = sum_i a_i * b_i (B128 dot product, the Lagrange/mixing hot loop) */
 void tower_dot_b128(const uint64_t *a, const uint64_t *b, size_t n,
                     uint64_t *out) {

@@ -40,11 +40,11 @@ import time
 import jax
 import jax.numpy as jnp
 
-from ...fields import tower
+from ...fields import scalar, tower
 from ...math import mle
 from ...parallel import mesh as mesh_mod
 from ...math.arith import ArithExpr, CompositionPoly
-from ...math.univariate import lagrange_evals_device
+from ...math.univariate import lagrange_evals_device, lagrange_evals_np
 from ...ntt.additive_ntt import AdditiveNTT, NTTDomain
 from . import prove as sc_prove
 from .common import LEVEL, CompositeSumClaim, SumcheckClaim
@@ -382,10 +382,11 @@ def batch_verify(zc_claims: list[ZerocheckClaim], transcript,
     round_evals = transcript.message().read_scalars(LEVEL, n_evals)
     u_challenge = transcript.sample_scalar(LEVEL)
 
-    lagr = lagrange_evals_device(points, u_challenge)
-    ev_dev = tower.from_ints(LEVEL, round_evals)
-    presummed = tower.to_ints(
-        LEVEL, tower.inner_product(LEVEL, ev_dev, lagr[1 << k:], axis=0)[None])[0]
+    # all stage-1 verifier algebra is O(D) host work — no device kernels
+    lagr_tail = _u32rows_to_ints(lagrange_evals_np(points, u_challenge)[1 << k:])
+    presummed = 0
+    for ev, lg in zip(round_evals, lagr_tail):
+        presummed ^= scalar.mul(LEVEL, ev, lg)
 
     # --- stage 2 ---
     s2_claims = []
@@ -411,8 +412,14 @@ def batch_verify(zc_claims: list[ZerocheckClaim], transcript,
 
     # check the Lagrange-MLE eval (last multilinear)
     sub_points = points[:1 << k]
-    lagr_cube = lagrange_evals_device(sub_points, u_challenge)
-    expected = _mle_eval_dev(lagr_cube, skipped)
+    cube = _u32rows_to_ints(lagrange_evals_np(sub_points, u_challenge))
+    eq = [1]
+    for r_pt in skipped:
+        eq = ([scalar.mul(LEVEL, c, r_pt ^ 1) for c in eq]
+              + [scalar.mul(LEVEL, c, r_pt) for c in eq])
+    expected = 0
+    for c, e in zip(cube, eq):
+        expected ^= scalar.mul(LEVEL, c, e)
     if concat_evals[-1] != expected:
         raise ValueError("univariate skip: Lagrange MLE evaluation mismatch")
     concat_evals = concat_evals[:-1]
@@ -427,8 +434,7 @@ def batch_verify(zc_claims: list[ZerocheckClaim], transcript,
     return BatchZerocheckOutput(skipped, s2_challenges, out_evals, out_points)
 
 
-def _mle_eval_dev(data, point: list[int]) -> int:
-    """Evaluate a B128 device MLE (2^k, 4) at a host point."""
-    eq = mle.eq_ind_partial_eval(LEVEL, tower.from_ints(LEVEL, point))
-    v = tower.inner_product(LEVEL, data, eq, axis=0)
-    return tower.to_ints(LEVEL, v[None, :])[0]
+def _u32rows_to_ints(a) -> list[int]:
+    """(n, 4) uint32 B128 limb rows -> canonical ints (host)."""
+    return [int(r[0]) | (int(r[1]) << 32) | (int(r[2]) << 64) | (int(r[3]) << 96)
+            for r in a]
