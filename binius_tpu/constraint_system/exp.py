@@ -87,8 +87,8 @@ def make_exp_witnesses(system, witness: dict) -> list:
             w = gkr_exp.ExpWitness.static(n, e.base_const, bit_datas,
                                           level=e.base_level)
         else:
-            w = gkr_exp.ExpWitness.dynamic(n, witness[e.base_oracle], bit_datas,
-                                           level=e.base_level)
+            w = gkr_exp.ExpWitness.dynamic(n, tower.resolve_p1(*witness[e.base_oracle]),
+                                           bit_datas, level=e.base_level)
         witness[e.exp_result_id] = (e.base_level, w.result)
         out.append(w)
     return out

@@ -285,8 +285,13 @@ def prove(system: ConstraintSystem, witness: dict, boundaries: list = (),
     for oid, packed_vars in zip(layout.oracle_ids, layout.packed_n_vars):
         o = system.oracles[oid]
         level, data = witness[oid]
-        assert level == o.tower_level
-        packed, pv = piop.pack_multilinear(level, data, o.n_vars)
+        if level == tower.P1:
+            # bit-packed B1 words ARE the B128 limb layout: packing is a view
+            assert o.tower_level == 0
+            packed, pv = data.reshape(-1, tower.n_limbs(LEVEL)), o.n_vars - 7
+        else:
+            assert level == o.tower_level
+            packed, pv = piop.pack_multilinear(level, data, o.n_vars)
         assert pv == packed_vars
         packed_mles.append((packed, pv))
     codeword, tree, _ = piop.commit(fri_params, layout.commit_meta, packed_mles)
@@ -338,7 +343,8 @@ def prove(system: ConstraintSystem, witness: dict, boundaries: list = (),
         ec_claims += gpa_ec_claims
     else:
         sets, claims = _zerocheck_claims(system)
-        mls_per_claim = [[witness[oid] for oid in s.oracle_ids] for s in sets]
+        mls_per_claim = [[tower.resolve_p1(*witness[oid]) for oid in s.oracle_ids]
+                         for s in sets]
         zc_out = zc.batch_prove(claims, mls_per_claim, transcript, order_high=False)
         ec_claims = _to_evalcheck_claims(sets, zc_out, False) + gpa_ec_claims
     ec_claims += exp_ec_claims

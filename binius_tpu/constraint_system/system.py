@@ -104,7 +104,7 @@ def validate_witness(system: ConstraintSystem, witness: dict, boundaries=()) -> 
     _validate_channels(system, witness, boundaries)
     _validate_exponents(system, witness)
     for nz in system.non_zero_claims:
-        level, data = witness[nz.oracle_id]
+        level, data = tower.resolve_p1(*witness[nz.oracle_id])
         import jax.numpy as jnp
         zero = tower.is_zero(level, data)
         if bool(jnp.any(zero)):
@@ -112,7 +112,7 @@ def validate_witness(system: ConstraintSystem, witness: dict, boundaries=()) -> 
     for cs in system.constraint_sets:
         mls = []
         for oid in cs.oracle_ids:
-            level, data = witness[oid]
+            level, data = tower.resolve_p1(*witness[oid])
             if level < 7:
                 data = tower.embed(level, 7, data)
             mls.append(data)
@@ -134,8 +134,8 @@ def _validate_exponents(system: ConstraintSystem, witness: dict) -> None:
     recomputed = dict(witness)
     exp_mod.make_exp_witnesses(system, recomputed)
     for e in system.exponents:
-        lvl, have = witness[e.exp_result_id]
-        rlvl, want = recomputed[e.exp_result_id]
+        lvl, have = tower.resolve_p1(*witness[e.exp_result_id])
+        rlvl, want = tower.resolve_p1(*recomputed[e.exp_result_id])
         assert lvl == rlvl
         if bool(jnp.any(have != want)):
             raise ValueError(
@@ -159,9 +159,9 @@ def _validate_channels(system: ConstraintSystem, witness: dict, boundaries) -> N
     for f in system.flushes:
         for oid in (*f.oracle_ids, *f.selector_ids):
             witness_mod.materialize(system.oracles, witness, oid)
-        cols = [tower.to_ints(witness[oid][0], witness[oid][1])
+        cols = [tower.to_ints(*tower.resolve_p1(*witness[oid]))
                 for oid in f.oracle_ids]
-        sels = [tower.to_ints(witness[sid][0], witness[sid][1])
+        sels = [tower.to_ints(*tower.resolve_p1(*witness[sid]))
                 for sid in f.selector_ids]
         n = len(cols[0])
         for r in range(n):

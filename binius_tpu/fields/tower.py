@@ -461,6 +461,36 @@ def pack_b1(bits_arr):
     return xor_reduce((parts & np.uint32(1)) << shifts, axis=-1)
 
 
+# Pseudo-level marker for bit-packed B1 multilinears in witness dicts: data is
+# uint32[N/32] words of 32 coefficients each (LSB first), so a column costs
+# its information content instead of 32x (one uint32 lane per bit). Columns
+# with fewer than 2^P1_MIN_VARS elements stay unpacked (level 0).
+P1 = -1
+P1_MIN_VARS = 7
+
+
+def p1_n_elems(level: int, data) -> int:
+    """Element count of a witness array, packed or not."""
+    return data.shape[0] * 32 if level == P1 else data.shape[0]
+
+
+def resolve_p1(level: int, data):
+    """(P1, words) -> (0, unpacked 0/1 lanes); identity otherwise. The single
+    chokepoint for consumers that need element-per-word layout."""
+    if level == P1:
+        return 0, unpack_b1(data)
+    return level, data
+
+
+def maybe_pack_b1(level: int, data):
+    """Store-side dual of resolve_p1: bit-pack level-0 columns large enough
+    to be worth it (and word-aligned); identity otherwise."""
+    if level == 0 and data.ndim == 1 and data.shape[0] >= (1 << P1_MIN_VARS) \
+            and data.shape[0] % 32 == 0:
+        return P1, pack_b1(data)
+    return level, data
+
+
 # ---------------------------------------------------------------------------
 # Inner products / linear maps
 # ---------------------------------------------------------------------------

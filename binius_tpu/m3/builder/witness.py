@@ -8,6 +8,7 @@ from the oracle definitions at lowering time.
 
 from __future__ import annotations
 
+import jax.numpy as jnp
 import numpy as np
 
 from ...constraint_system import witness as core_witness
@@ -115,13 +116,23 @@ class WitnessIndex:
                 vals = tw.columns.get(cd.col.index)
                 assert vals is not None, f"column {cd.col.name} not filled"
                 if isinstance(vals, np.ndarray):
-                    if cd.col.level <= 5:
+                    if (cd.col.level == 0 and vals.shape[0] >= (1 << tower.P1_MIN_VARS)
+                            and vals.shape[0] % 32 == 0):
+                        # bit-pack B1 columns host-side: 32x less transfer and
+                        # device residency (tower.P1 packed-word layout)
+                        b = (vals.astype(np.uint32) & 1).reshape(-1, 32)
+                        words = np.bitwise_or.reduce(
+                            b << np.arange(32, dtype=np.uint32), axis=1)
+                        witness[oid] = (tower.P1, jnp.asarray(words))
+                    elif cd.col.level <= 5:
                         dev = tower.from_numpy(cd.col.level, vals.astype(np.uint32))
+                        witness[oid] = (cd.col.level, dev)
                     else:
                         dev = tower.from_numpy(cd.col.level, vals.astype(np.uint64))
-                    witness[oid] = (cd.col.level, dev)
+                        witness[oid] = (cd.col.level, dev)
                 else:
-                    witness[oid] = (cd.col.level, tower.from_ints(cd.col.level, vals))
+                    witness[oid] = tower.maybe_pack_b1(
+                        cd.col.level, tower.from_ints(cd.col.level, vals))
         # prover-computed exp result columns (`constraint_system/exp.py`)
         if core_system.exponents:
             from ...constraint_system import exp as exp_mod

@@ -102,7 +102,9 @@ class _Walker:
             groups.setdefault((lvl, n, point), []).append(iid)
         for (lvl, n, point), iids in groups.items():
             eq = self._eq_expansion(point)
-            stack = jnp.stack([self.witness[i][1] for i in iids], axis=0)
+            stack = jnp.stack([tower.resolve_p1(*self.witness[i])[1]
+                               for i in iids], axis=0)
+            lvl = max(lvl, 0)
             _, out = mle.batched_evaluate_partial_high(lvl, stack, n, eq, 0)
             vals = tower.to_ints(LEVEL, out)
             for i, v in zip(iids, vals):
@@ -206,7 +208,7 @@ class _Walker:
         cached = self._wit_eval_cache.get((oid, tuple(point)))
         if cached is not None:
             return cached
-        level, data = self.witness[oid]
+        level, data = tower.resolve_p1(*self.witness[oid])
         o = self.oracles[oid]
         _, v = mle.evaluate(level, data, o.n_vars, LEVEL,
                             tower.from_ints(LEVEL, list(point)))
@@ -231,8 +233,10 @@ class _Walker:
             groups.setdefault((ilevel, inner.n_vars, z_high), []).append(idx)
         chunks, order = [], []
         for (ilevel, n, z_high), idxs in groups.items():
-            stack = jnp.stack([self.witness[entries[i].oracle.inner[0]][1]
-                               for i in idxs], axis=0)
+            ilevel = max(ilevel, 0)
+            stack = jnp.stack(
+                [tower.resolve_p1(*self.witness[entries[i].oracle.inner[0]])[1]
+                 for i in idxs], axis=0)
             if n == b:
                 proj = tower.embed(ilevel, LEVEL, stack)
             else:
@@ -314,7 +318,8 @@ class _Walker:
                 else:
                     o = e.oracle
                     eq_ml = (LEVEL, self._eq_expansion(tuple(e.claim.point)))
-                    mls = [eq_ml] + [self.witness[ii] for ii in o.inner]
+                    mls = [eq_ml] + [tower.resolve_p1(*self.witness[ii])
+                                     for ii in o.inner]
                     provers.append(sc_prove.RegularSumcheckProver(
                         claims[i], mls, order_high=False,
                         eq_ind_challenges=tuple(e.claim.point)))

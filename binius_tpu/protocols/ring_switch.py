@@ -206,8 +206,8 @@ class RingSwitchEvalClaim:
 
 def _witness_n_vars(level: int, data) -> int:
     """log2 element count of a device multilinear at `level` (elements are
-    the leading axis in every tower layout)."""
-    return (int(data.shape[0]) - 1).bit_length()
+    the leading axis in every tower layout; bit-packed B1 counts bits)."""
+    return (tower.p1_n_elems(level, data) - 1).bit_length()
 
 
 def _group_by(values):
@@ -372,7 +372,7 @@ class _BatchedEqIndEvals:
 
 def _partial_eval_tensor(claim: RingSwitchEvalClaim, witness) -> TensorAlgElem:
     """a_u = MLE of f(u, .) at z_suffix, u over the low kappa variables."""
-    level, data = witness
+    level, data = tower.resolve_p1(*witness)
     assert level == claim.level
     n = len(claim.point)
     k = claim.kappa
@@ -445,12 +445,13 @@ def prove(claims: list[RingSwitchEvalClaim], witnesses: list, transcript) -> Red
         groups: dict = {}
         for pos, i in enumerate(idxs):
             c = claims[i]
-            wit_n = _witness_n_vars(lvl, witnesses[c.committed_idx][1])
+            wit_n = _witness_n_vars(*witnesses[c.committed_idx])
             groups.setdefault((len(c.point), c.suffix, wit_n), []).append(pos)
         chunks, order = [], []
         for (nv, suffix, wit_n), poss in groups.items():
-            stack = jnp.stack([witnesses[claims[idxs[p]].committed_idx][1]
-                               for p in poss], axis=0)
+            stack = jnp.stack(
+                [tower.resolve_p1(*witnesses[claims[idxs[p]].committed_idx])[1]
+                 for p in poss], axis=0)
             if nv == kappa:
                 if wit_n < kappa:
                     # tiny column: repeat the short value vector to fill one

@@ -111,53 +111,100 @@ def _claim_round_evals(zc: ZerocheckClaim, mls: list, eq_pt: list[int],
     of the skip-subspace, P = (n_cosets - 1) << skip."""
     n = zc.n_vars
     k = skip
-    levels = [lvl for lvl, _ in mls]
     const_level = max((c.expr.binary_tower_level() for c in zc.compositions),
                       default=0)
+    levels = [lvl for lvl, _ in mls]
     if any(lvl > 5 for lvl in levels) or const_level > 5:
         data_level = LEVEL
-        datas = [tower.embed(lvl, LEVEL, d) if lvl < LEVEL else d for lvl, d in mls]
+        datas = []
+        for lvl, d in mls:
+            lvl, d = tower.resolve_p1(lvl, d)
+            datas.append(tower.embed(lvl, LEVEL, d) if lvl < LEVEL else d)
+        packed_pos = []
     else:
-        data_level = max([DOMAIN_LEVEL, const_level, *levels])
-        datas = [d for _, d in mls]  # levels <=5 share the uint32 lane layout
+        data_level = max([DOMAIN_LEVEL, const_level,
+                          *[max(lvl, 0) for lvl in levels]])
+        # bit-packed B1 columns ride into the kernel packed and unpack inside
+        # the jit (fused: HBM holds words, not one lane per bit)
+        datas = [d for _, d in mls]
+        packed_pos = [i for i, lvl in enumerate(levels) if lvl == tower.P1]
     m = len(datas)
     m_pad = 1 << max(0, (m - 1).bit_length())
-    if m_pad > m:
-        datas = datas + [jnp.zeros_like(datas[0])] * (m_pad - m)
-    stack = jnp.stack(datas, axis=0)  # (m_pad, 2^n [, limbs])
+
+    plain_ids = [i for i in range(m) if i not in packed_pos]
+    plain = [datas[i] for i in plain_ids]
+    packed = [datas[i] for i in packed_pos]
+    # chunking must slice packed stacks at word boundaries
+    suffix = 1 << (n - k)
+    P = (n_cosets - 1) << k
+    max_chunk = max(1, (1 << 24) // max(1, m_pad * P))
+    chunk = 1 << min(n - k, max(0, max_chunk.bit_length() - 1))
+    if packed and (chunk << k) % 32 != 0:
+        plain_ids = plain_ids + packed_pos
+        plain = plain + [tower.unpack_b1(p) for p in packed]
+        packed, packed_pos = [], []
+    # pad to m_pad rows (zeros) on whichever stack exists
+    n_pads = m_pad - m
+    if plain:
+        plain = plain + [jnp.zeros_like(plain[0])] * n_pads
+        pad_rows = list(range(len(plain_ids), len(plain_ids) + n_pads))
+    else:
+        packed = packed + [jnp.zeros_like(packed[0])] * n_pads
+        pad_rows = [len(plain) + len(packed_pos) + i for i in range(n_pads)]
+    # kernel rows = concat([plain rows, unpacked packed rows]); perm maps
+    # final stack position j -> kernel row holding multilinear j
+    row_of = {i: r for r, i in enumerate(plain_ids)}
+    for r, i in enumerate(packed_pos):
+        row_of[i] = len(plain) + r
+    perm = tuple([row_of[j] for j in range(m)] + pad_rows)
+    stack = jnp.stack(plain, axis=0) if plain else None
+    pstack = jnp.stack(packed, axis=0) if packed else None
     eq = mle.eq_ind_partial_eval(LEVEL, tower.from_ints(LEVEL, eq_pt))  # (2^(n-k), 4)
-    mesh = mesh_mod.mesh_of(stack) if mesh_mod.is_mesh_sharded(stack) else None
+    probe = stack if stack is not None else pstack
+    mesh = mesh_mod.mesh_of(probe) if mesh_mod.is_mesh_sharded(probe) else None
     if mesh is not None:
         eq = mesh_mod.put_row_sharded(mesh, LEVEL, eq)
 
     compact = tuple(_compact_compositions(zc))
-    suffix = 1 << (n - k)
-    P = (n_cosets - 1) << k
-    # chunk the suffix dim so the extended buffer stays bounded
-    max_chunk = max(1, (1 << 24) // max(1, m_pad * P))
-    chunk = 1 << min(n - k, max(0, max_chunk.bit_length() - 1))
     acc = None
     for s0 in range(0, suffix, chunk):
-        if tower.has_limb_dim(data_level):
-            sub = stack[:, s0 << k:(s0 + chunk) << k, :]
-        else:
-            sub = stack[:, s0 << k:(s0 + chunk) << k]
+        sub_plain = None
+        if stack is not None:
+            sub_plain = (stack[:, s0 << k:(s0 + chunk) << k, :]
+                         if tower.has_limb_dim(data_level)
+                         else stack[:, s0 << k:(s0 + chunk) << k])
+        sub_packed = None
+        if pstack is not None:
+            sub_packed = pstack[:, (s0 << k) // 32:((s0 + chunk) << k) // 32]
         part = _uni_chunk_jit(data_level, k, n_cosets, dom_log, compact,
-                              sub, eq[s0:s0 + chunk], mesh is not None)
+                              sub_plain, sub_packed, perm,
+                              eq[s0:s0 + chunk], mesh is not None)
         acc = part if acc is None else acc ^ part
     return acc
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 7))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 7, 9))
 def _uni_chunk_jit(data_level: int, k: int, n_cosets: int, dom_log: int,
-                   compact: tuple, sub, eq_c, spmd: bool = False):
+                   compact: tuple, sub_plain, sub_packed, perm, eq_c,
+                   spmd: bool = False):
     """One suffix chunk of the univariate round: NTT-extend every multilinear
     slice to cosets 1..n_cosets-1, evaluate compositions in the small field,
     weight by the eq indicator, XOR-reduce over the chunk.
 
-    sub: (m_pad, chunk << k [, limbs]) at data_level; eq_c: (chunk, 4) B128.
-    Returns (n_comps, P, 4) with P = (n_cosets-1) << k.
+    sub_plain: (m_plain, chunk << k [, limbs]) at data_level; sub_packed:
+    (m_packed, chunk << k >> 5) bit-packed B1 words unpacked here (fused so
+    only the words cross HBM); perm re-interleaves rows into original
+    multilinear order. eq_c: (chunk, 4) B128. Returns (n_comps, P, 4) with
+    P = (n_cosets-1) << k.
     """
+    rows = []
+    if sub_plain is not None:
+        rows.append(sub_plain)
+    if sub_packed is not None:
+        rows.append(tower.unpack_b1(sub_packed))
+    sub = rows[0] if len(rows) == 1 else jnp.concatenate(rows, axis=0)
+    if perm is not None and tuple(perm) != tuple(range(sub.shape[0])):
+        sub = sub[jnp.asarray(perm, dtype=jnp.int32)]
     m_pad = sub.shape[0]
     chunk = sub.shape[1] >> k
     ntt = AdditiveNTT(NTTDomain.create(DOMAIN_LEVEL, dom_log))
@@ -332,6 +379,7 @@ def batch_prove(zc_claims: list[ZerocheckClaim], mls_per_claim: list,
 def _fold_skipped(mls: list, n: int, k: int, lagr_cube) -> list:
     """Bind the low k vars of each multilinear with the Lagrange coefficient
     vector; returns [(LEVEL, data)] of 2^(n-k) entries each."""
+    mls = [tower.resolve_p1(lvl, d) for lvl, d in mls]
     out = [None] * len(mls)
     groups: dict = {}
     for i, (lvl, _) in enumerate(mls):
@@ -347,6 +395,7 @@ def _fold_skipped(mls: list, n: int, k: int, lagr_cube) -> list:
 def _project_skipped(mls: list, n: int, k: int, point: list[int]) -> list:
     """Bind the high n-k vars of each multilinear at `point` (var order);
     returns [(LEVEL, data)] of 2^k entries each."""
+    mls = [tower.resolve_p1(lvl, d) for lvl, d in mls]
     if n == k:
         return [(LEVEL, tower.embed(lvl, LEVEL, d)) for lvl, d in mls]
     eq = mle.eq_ind_partial_eval(LEVEL, tower.from_ints(LEVEL, point))
