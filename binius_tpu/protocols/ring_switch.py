@@ -397,14 +397,27 @@ def _fold_vertical_batch_jit(level: int, scaled, rc):
     return tower.inner_product(LEVEL, joined, rc[None, :, :], axis=1)
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def _eq_ind_mle_batch_jit(level: int, eq, mix, rc):
+@jax.jit
+def _eq_ind_mle_batch_jit(eq, mix, c):
     """Batched ring-switch eq-indicator MLEs over one shared suffix expansion:
-    eq (2^n, 4), mix (k, 4), rc (2^kappa, 4) -> (k, 2^n, 4)."""
+    eq (2^n, 4), mix (k, 4) -> (k, 2^n, 4).
+
+    A(x) = sum_u rc_u * embed(coord_u(x)) is F2-linear in x = mix * eq_v, so
+    it is applied as 128 precomputed B128 constants c_b = rc_{b//w} * 2^(b%w)
+    (see _eq_ind_linear_consts) selected by the bits of x and XOR-reduced —
+    a bit-plane matmul instead of 2^kappa tower multiplies per element."""
     scaled = tower.mul(LEVEL, eq[None, :, :], mix[:, None, :])
-    coords = tower.split_to_subfield(LEVEL, level, scaled)   # (k, 2^n, nc)
-    emb = tower.embed(level, LEVEL, coords)                  # (k, 2^n, nc, 4)
-    return tower.inner_product(LEVEL, emb, rc[None, None, :, :], axis=2)
+    bits = tower.split_to_subfield(LEVEL, 0, scaled)          # (k, 2^n, 128)
+    sel = jnp.where(bits[..., None] != 0, c[None, None, :, :], jnp.uint32(0))
+    return tower.xor_reduce(sel, axis=2)
+
+
+def _eq_ind_linear_consts(level: int, row_coeffs: list[int]):
+    """(128, 4) device constants of the F2-linear map x -> A(x)."""
+    w = 1 << level
+    c_ints = [scalar.mul(LEVEL, row_coeffs[b // w], 1 << (b % w))
+              for b in range(128)]
+    return tower.from_ints(LEVEL, c_ints)
 
 
 def prove(claims: list[RingSwitchEvalClaim], witnesses: list, transcript) -> ReducedRingSwitch:
@@ -418,6 +431,18 @@ def prove(claims: list[RingSwitchEvalClaim], witnesses: list, transcript) -> Red
     claim groups share one kernel), and the row-batch fold + transparent
     MLEs run as per-level batch kernels.
     """
+    import os as _os
+    import time as _time
+    _trace_on = _os.environ.get("BINIUS_TRACE_PHASES", "") not in ("", "0")
+    _t0 = _time.perf_counter()
+
+    def _trace(msg):
+        nonlocal _t0
+        t = _time.perf_counter()
+        if _trace_on:
+            print(f"  [ring_switch] {msg}: {(t - _t0) * 1e3:.1f} ms", flush=True)
+        _t0 = t
+
     n = len(claims)
     mixing = _mixing_coeffs(transcript, n)
     mix_dev = tower.from_ints(LEVEL, mixing)  # (n, 4)
@@ -474,6 +499,7 @@ def prove(claims: list[RingSwitchEvalClaim], witnesses: list, transcript) -> Red
                            jnp.asarray(inv, dtype=jnp.int32), axis=0)
         mix_lvl = jnp.take(mix_dev, jnp.asarray(idxs, dtype=jnp.int32), axis=0)
         scaled_by_level[lvl] = tower.mul(LEVEL, tensors, mix_lvl[:, None, :])
+    _trace(f"tensor partial evals ({n} claims)")
 
     # --- mix per shared prefix, write tensor elements to the transcript ---
     prefixes, claim_to_prefix = _group_by([c.prefix for c in claims])
@@ -486,6 +512,7 @@ def prove(claims: list[RingSwitchEvalClaim], witnesses: list, transcript) -> Red
                                     dtype=jnp.int32), axis=0)
         mixed = tower.xor_reduce(rows, axis=0)
         w.write_scalars(LEVEL, tower.to_ints(LEVEL, mixed))
+    _trace(f"prefix mixing ({len(prefixes)} prefixes)")
 
     # --- row-batching challenges, batched vertical folds ---
     max_kappa = max(c.kappa for c in claims)
@@ -502,6 +529,7 @@ def prove(claims: list[RingSwitchEvalClaim], witnesses: list, transcript) -> Red
         for pos, i in enumerate(claims_of_level[lvl]):
             row_batched[i] = vals[pos]
     transcript.message().write_scalars(LEVEL, row_batched)
+    _trace("row-batch folds")
 
     # --- batched transparent MLEs, grouped by (level, suffix) ---
     transparents: list = [None] * n
@@ -509,17 +537,21 @@ def prove(claims: list[RingSwitchEvalClaim], witnesses: list, transcript) -> Red
     for i, c in enumerate(claims):
         tgroups.setdefault((c.level, c.suffix), []).append(i)
     for (lvl, suffix), idxs in tgroups.items():
-        kappa = 7 - lvl
-        rc = tower.from_ints(LEVEL, row_coeffs[:1 << kappa])
+        cconsts = _eq_ind_linear_consts(lvl, row_coeffs)
         eq = eq_of(suffix)
-        # chunk to bound the (k, 2^n, 2^kappa, 4) intermediate at ~2^24 words
-        max_chunk = max(1, (1 << 24) // max(1, (eq.shape[0] << kappa) * 4))
+        # chunk to bound the (k, 2^n, 128, 4) select intermediate at ~2^24 words
+        max_chunk = max(1, (1 << 24) // max(1, eq.shape[0] * 128 * 4))
         for start in range(0, len(idxs), max_chunk):
             part = idxs[start:start + max_chunk]
             mix_part = jnp.take(mix_dev, jnp.asarray(part, dtype=jnp.int32), axis=0)
-            out = _eq_ind_mle_batch_jit(lvl, eq, mix_part, rc)
+            out = _eq_ind_mle_batch_jit(eq, mix_part, cconsts)
+            # one transfer + host slices: per-claim device gathers here cost
+            # ~8 ms dispatch each (17 s of a keccak-2^6 prove); the PIOP
+            # prover re-stacks these in a single upload
+            out_np = np.asarray(jax.device_get(out))
             for j, i in enumerate(part):
-                transparents[i] = (out[j], len(suffix))
+                transparents[i] = (out_np[j], len(suffix))
+    _trace(f"transparent MLEs ({len(tgroups)} groups)")
     sc = [PIOPSumcheckClaim(len(c.suffix), c.committed_idx, i, rb)
           for i, (c, rb) in enumerate(zip(claims, row_batched))]
     return ReducedRingSwitch(sc, transparents)
