@@ -30,15 +30,22 @@ _MASKS = (np.uint32(0x0000FFFF), np.uint32(0x00FF00FF), np.uint32(0x0F0F0F0F),
 
 
 def _transpose32(m):
-    """Bit-transpose each 32x32 block: m [..., 32] uint32 -> t [..., 32]
-    with t[..., b] bit j == m[..., j] bit b."""
+    """Bit-transpose each 32x32 block: m [..., 32, W] uint32 -> t [..., 32, W]
+    with t[..., b, w] bit j == m[..., j, w] bit b.
+
+    The 32-word axis sits at position -2 (TPU sublanes) and a wide axis at -1
+    (TPU lanes): every round's reshape then only regroups leading axes, which
+    XLA treats as layout-trivial, and each round fuses into one elementwise
+    pass. (The earlier formulation paired along a minor axis of 32, which
+    quarter-filled the 128-wide lanes and forced a relayout per round —
+    measured 60x off the HBM bound on v5e.)"""
     for mask, j in zip(_MASKS, (16, 8, 4, 2, 1)):
-        r = m.reshape(*m.shape[:-1], -1, 2, j)
-        lo, hi = r[..., 0, :], r[..., 1, :]
+        r = m.reshape(*m.shape[:-2], -1, 2, j, m.shape[-1])
+        lo, hi = r[..., 0, :, :], r[..., 1, :, :]
         t = (lo ^ (hi << j)) & ~jnp.asarray(mask)
         lo = lo ^ t
         hi = hi ^ (t >> j)
-        m = jnp.stack([lo, hi], axis=-2).reshape(m.shape)
+        m = jnp.stack([lo, hi], axis=-3).reshape(m.shape)
     return m
 
 
@@ -52,11 +59,10 @@ def to_bitsliced(level: int, a):
     n = a.shape[0]
     assert n % 32 == 0, n
     limbs = a.shape[-1]
-    # [N, limbs] -> [limbs, N/32, 32] -> bit-transpose -> [limbs, 32, N/32]
-    m = jnp.transpose(a, (1, 0)).reshape(limbs, n // 32, 32)
-    t = _transpose32(m)
-    planes = jnp.transpose(t, (0, 2, 1)).reshape(limbs * 32, n // 32)
-    return planes[:nb]
+    # [N, limbs] -> [limbs, 32, N/32] (one transpose pass), words on sublanes
+    m = jnp.transpose(a.reshape(n // 32, 32, limbs), (2, 1, 0))
+    t = _transpose32(m)  # [limbs, 32, N/32], row b = bit plane b
+    return t.reshape(limbs * 32, n // 32)[:nb]
 
 
 def from_bitsliced(level: int, planes):
@@ -67,9 +73,8 @@ def from_bitsliced(level: int, planes):
     if nb < 32:
         planes = jnp.concatenate(
             [planes, jnp.zeros((32 - nb, nw), dtype=U32)], axis=0)
-    m = jnp.transpose(planes.reshape(limbs, 32, nw), (0, 2, 1))
-    t = _transpose32(m)  # [limbs, N/32, 32]
-    out = jnp.transpose(t.reshape(limbs, nw * 32), (1, 0))
+    t = _transpose32(planes.reshape(limbs, 32, nw))  # [limbs, 32, N/32]
+    out = jnp.transpose(t, (2, 1, 0)).reshape(nw * 32, limbs)
     if not tower.has_limb_dim(level):
         out = out[..., 0]
         if level < 5:
