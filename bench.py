@@ -60,13 +60,18 @@ def bench_ntt():
 def bench_b128_mul():
     from binius_tpu.fields import bitslice, tower
 
+    if jax.default_backend() in ("tpu", "axon"):
+        # fully-fused VMEM path (transposes + gate network in Pallas)
+        from binius_tpu.fields import bitslice_pallas as bs
+    else:
+        bs = bitslice
     n = 1 << 20
     rng = np.random.default_rng(1)
     a = jax.device_put(tower.from_numpy(
         7, rng.integers(0, 2**32, size=(n, 4), dtype=np.uint32)))
     b = jax.device_put(tower.from_numpy(
         7, rng.integers(0, 2**32, size=(n, 4), dtype=np.uint32)))
-    dt = timeit(lambda x: bitslice.mul(7, x, b), a, iters=10)
+    dt = timeit(lambda x: bs.mul(7, x, b), a, iters=10)
     return n / dt / 1e6
 
 

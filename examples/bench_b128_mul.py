@@ -51,8 +51,12 @@ def main():
     b = jax.device_put(b)
 
     jit_tower = jax.jit(lambda x, y: tower.mul(7, x, y))
-    for name, fn in [("tower.mul (packed/MXU)", jit_tower),
-                     ("bitslice.mul (VPU)", lambda x, y: bitslice.mul(7, x, y))]:
+    rows = [("tower.mul (packed/MXU)", jit_tower),
+            ("bitslice.mul (VPU)", lambda x, y: bitslice.mul(7, x, y))]
+    if jax.default_backend() in ("tpu", "axon"):
+        from binius_tpu.fields import bitslice_pallas
+        rows.append(("bitslice_pallas.mul", lambda x, y: bitslice_pallas.mul(7, x, y)))
+    for name, fn in rows:
         t_c0 = time.perf_counter()
         dt = timeit(fn, a, b)
         print(f"{name:26s} n=2^{log_n}: {dt * 1e3:8.3f} ms warm "

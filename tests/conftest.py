@@ -44,11 +44,18 @@ _raise_max_map_count()
 
 import jax  # noqa: E402  (already imported by sitecustomize; this is a no-op)
 
-jax.config.update("jax_platforms", "cpu")
+if os.environ.get("BINIUS_TEST_TPU"):
+    # Keep the ambient backend (axon/TPU) — used to exercise the
+    # hardware-gated tests (Pallas kernels) on the real chip.
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/binius_tpu_jax_cache_tpu")
+else:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/binius_tpu_jax_cache_cpu")
 jax.config.update("jax_traceback_filtering", "off")
 # Persistent compilation cache: safe ONLY together with the pinned
 # --xla_cpu_max_isa above (otherwise executables embed per-host tuning
 # features and crash on reload). Cuts suite time massively — the prover is
 # XLA-compile-bound on this 4-vCPU box (uzc: 221s cold vs 9s warm).
-jax.config.update("jax_compilation_cache_dir", "/tmp/binius_tpu_jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

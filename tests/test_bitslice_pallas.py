@@ -26,3 +26,18 @@ def test_pallas_mul_matches_bitslice():
     got = tower.to_ints(7, bitslice_pallas.mul(7, a, b))
     want = tower.to_ints(7, bitslice.mul(7, a, b))
     assert got == want
+
+
+@pytest.mark.skipif(jax.default_backend() not in ("tpu", "axon"),
+                    reason="Pallas TPU kernel needs a TPU backend")
+def test_pallas_transpose32_matches_xla():
+    import numpy as np
+
+    from binius_tpu.fields import bitslice_pallas
+
+    rng = np.random.default_rng(23)
+    m = rng.integers(0, 2**32, size=(4, 32, 800), dtype=np.uint32)
+    import jax.numpy as jnp
+    got = np.asarray(bitslice_pallas.transpose32(jnp.asarray(m)))
+    want = np.asarray(bitslice._transpose32(jnp.asarray(m)))
+    assert (got == want).all()
