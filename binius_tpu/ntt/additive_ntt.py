@@ -126,6 +126,17 @@ class AdditiveNTT:
     def level(self) -> int:
         return self.domain.level
 
+    def _sharded(self, data, shape):
+        """Mesh of a row-sharded operand, if the explicit shard_map path
+        applies (GSPMD replicates the stage loop instead of partitioning it;
+        see scripts/scaling_report.py + ntt/sharded_ntt.py)."""
+        from ..parallel import mesh as mesh_mod
+        if not mesh_mod.is_mesh_sharded(data):
+            return None
+        m = mesh_mod.mesh_of(data)
+        from . import sharded_ntt
+        return m if sharded_ntt.suitable(self, data, shape, m) else None
+
     def _stage_twiddle_arrays(self, log_y: int, coset: int, coset_bits: int, skip_rounds: int):
         """Device twiddle vector per stage i (in forward-stage order i desc)."""
         ell = self.domain.log_domain_size
@@ -140,13 +151,30 @@ class AdditiveNTT:
         return out
 
     def forward(self, data, data_level: int, shape: tuple[int, int, int],
-                coset: int = 0, coset_bits: int = 0, skip_rounds: int = 0):
+                coset: int = 0, coset_bits: int = 0, skip_rounds: int = 0,
+                bitsliced: bool | None = None):
         """Forward transform (novel-basis coeffs -> evaluations), not in-place.
 
         `data`: flat array of 2^(log_x+log_y+log_z) elements (natural order,
         X fastest). Returns same-shape flat array.
+
+        Big single-device TPU batches take the fused bitsliced Pallas path
+        (`bitsliced_ntt`); the packed stage loop below is the portable and
+        mesh-sharded path. `bitsliced=False` forces the packed path.
         """
         log_x, log_y, log_z = shape
+        from . import bitsliced_ntt
+        if bitsliced is not False and bitsliced_ntt.wants_dispatch(
+                self.level, data_level, data):
+            return bitsliced_ntt.transform(
+                self.domain, data, data_level, shape, coset=coset,
+                coset_bits=coset_bits, skip_rounds=skip_rounds)
+        sh = self._sharded(data, shape)
+        if sh is not None:
+            from . import sharded_ntt
+            return sharded_ntt.transform_sharded(
+                self, data, data_level, shape, coset, coset_bits,
+                skip_rounds, False, sh)
         tws = self._stage_twiddle_arrays(log_y, coset, coset_bits, skip_rounds)
         stages = tuple(range(log_y - skip_rounds - 1, -1, -1))
         tw_list = tuple(tws[i] for i in stages)
@@ -154,9 +182,22 @@ class AdditiveNTT:
                               stages, tw_list, False)
 
     def inverse(self, data, data_level: int, shape: tuple[int, int, int],
-                coset: int = 0, coset_bits: int = 0, skip_rounds: int = 0):
+                coset: int = 0, coset_bits: int = 0, skip_rounds: int = 0,
+                bitsliced: bool | None = None):
         """Inverse transform (evaluations -> novel-basis coeffs)."""
         log_x, log_y, log_z = shape
+        from . import bitsliced_ntt
+        if bitsliced is not False and bitsliced_ntt.wants_dispatch(
+                self.level, data_level, data):
+            return bitsliced_ntt.transform(
+                self.domain, data, data_level, shape, coset=coset,
+                coset_bits=coset_bits, skip_rounds=skip_rounds, inverse=True)
+        sh = self._sharded(data, shape)
+        if sh is not None:
+            from . import sharded_ntt
+            return sharded_ntt.transform_sharded(
+                self, data, data_level, shape, coset, coset_bits,
+                skip_rounds, True, sh)
         tws = self._stage_twiddle_arrays(log_y, coset, coset_bits, skip_rounds)
         stages = tuple(range(0, log_y - skip_rounds))
         tw_list = tuple(tws[i] for i in stages)
