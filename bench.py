@@ -58,21 +58,25 @@ def bench_ntt():
 
 
 def bench_b128_mul():
+    """Returns (bitslice_xla_Melem_s, pallas_Melem_s_or_None): distinct keys
+    per implementation so the driver-contract numbers stay comparable
+    round-over-round (ADVICE r02); the pallas number is what tower.mul
+    actually dispatches to on single-device TPU unless BINIUS_NO_PALLAS."""
     from binius_tpu.fields import bitslice, tower
 
-    if jax.default_backend() in ("tpu", "axon"):
-        # fully-fused VMEM path (transposes + gate network in Pallas)
-        from binius_tpu.fields import bitslice_pallas as bs
-    else:
-        bs = bitslice
     n = 1 << 20
     rng = np.random.default_rng(1)
     a = jax.device_put(tower.from_numpy(
         7, rng.integers(0, 2**32, size=(n, 4), dtype=np.uint32)))
     b = jax.device_put(tower.from_numpy(
         7, rng.integers(0, 2**32, size=(n, 4), dtype=np.uint32)))
-    dt = timeit(lambda x: bs.mul(7, x, b), a, iters=10)
-    return n / dt / 1e6
+    xla = n / timeit(lambda x: bitslice.mul(7, x, b), a, iters=10) / 1e6
+    pallas = None
+    if jax.default_backend() in ("tpu", "axon") and not tower.NO_PALLAS:
+        from binius_tpu.fields import bitslice_pallas
+        pallas = n / timeit(lambda x: bitslice_pallas.mul(7, x, b), a,
+                            iters=10) / 1e6
+    return xla, pallas
 
 
 def bench_prove(budget_s=420):
@@ -126,17 +130,44 @@ def bench_prove(budget_s=420):
         signal.signal(signal.SIGALRM, old)
 
 
+def _prev_round_value():
+    """Self-baseline: the primary metric from the newest BENCH_r*.json
+    (reference-CPU numbers need an external Rust run; round-over-round is
+    what the driver contract can actually gate on)."""
+    import glob
+    import re
+
+    best = None
+    for p in glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if not m:
+            continue
+        try:
+            with open(p) as f:
+                doc = json.load(f)
+            val = doc.get("parsed", doc).get("value")
+        except Exception:
+            continue
+        if val is not None and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), float(val))
+    return best[1] if best else None
+
+
 def main():
     ntt = bench_ntt()
-    b128 = bench_b128_mul()
+    b128_xla, b128_pallas = bench_b128_mul()
     prove_ms = bench_prove()
+    prev = _prev_round_value()
     print(json.dumps({
         "metric": "additive_ntt_b32_encode_throughput",
         "value": round(ntt, 2),
         "unit": "Melem/s",
-        "vs_baseline": None,
+        "vs_baseline": round(ntt / prev, 3) if prev else None,
         "extra": {
-            "b128_mul_bitslice_Melem_s": round(b128, 2),
+            "b128_mul_bitslice_Melem_s": round(b128_xla, 2),
+            "b128_mul_pallas_Melem_s": (
+                round(b128_pallas, 2) if b128_pallas is not None else None),
             "u32_add_prove_2e10_warm_ms": (
                 round(prove_ms, 1) if prove_ms is not None else None),
         },

@@ -27,6 +27,13 @@ import numpy as np
 
 from . import scalar
 
+# Read once at import: the pallas-dispatch decision happens at TRACE time, so
+# a cached jit trace would ignore later env changes anyway (set it before
+# first use). "0" and "" count as enabled.
+import os as _os
+
+NO_PALLAS = _os.environ.get("BINIUS_NO_PALLAS", "") not in ("", "0")
+
 U32 = jnp.uint32
 
 LIMB_BITS = 32
@@ -268,9 +275,9 @@ def _pallas_mul_operands(level: int, a, b):
     (bitslice_pallas.mul): 381 vs 31 Melem/s at B128/2^20 on v5e. Returns
     the (possibly scalar-broadcast) operand pair, or None to take the packed
     path. Gated to single-device TPU — pallas_call does not partition under
-    GSPMD, and the CPU backend has no Mosaic. BINIUS_NO_PALLAS=1 disables."""
-    import os
-    if level < 5 or os.environ.get("BINIUS_NO_PALLAS"):
+    GSPMD, and the CPU backend has no Mosaic. BINIUS_NO_PALLAS=1 disables
+    (read once at import; see NO_PALLAS above)."""
+    if level < 5 or NO_PALLAS:
         return None
     if jax.default_backend() not in ("tpu", "axon") or jax.device_count() != 1:
         return None

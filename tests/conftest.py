@@ -45,8 +45,10 @@ _raise_max_map_count()
 import jax  # noqa: E402  (already imported by sitecustomize; this is a no-op)
 
 if os.environ.get("BINIUS_TEST_TPU"):
-    # Keep the ambient backend (axon/TPU) — used to exercise the
-    # hardware-gated tests (Pallas kernels) on the real chip.
+    # Keep the ambient backend (axon/TPU). Meant for SELECTIVE runs of the
+    # hardware-gated tests only (e.g. `pytest -k "pallas or bitsliced"`):
+    # most of the suite assumes the hermetic 8-device CPU mesh and would be
+    # slow and wrong-platform over the tunnel.
     jax.config.update("jax_compilation_cache_dir",
                       "/tmp/binius_tpu_jax_cache_tpu")
 else:
