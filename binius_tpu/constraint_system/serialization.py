@@ -183,7 +183,7 @@ def _r_transparent(r):
 
 # -- system ------------------------------------------------------------------
 
-MAGIC = b"BTPUCS02"
+MAGIC = b"BTPUCS03"
 
 
 def serialize(system: ConstraintSystem) -> bytes:
@@ -247,6 +247,15 @@ def serialize(system: ConstraintSystem) -> bytes:
         _w_u32(b, e.base_level)
         _w_i32(b, -1 if e.base_oracle is None else e.base_oracle)
         _w_u128(b, e.base_const if e.base_const is not None else 0)
+    # trailing canonical (reference-format) symbolic blob, so the digest the
+    # transcript observes survives a BTPUCS round trip
+    if system.symbolic is not None:
+        from . import canonical
+        raw = canonical.serialize(system.symbolic)
+        _w_u32(b, len(raw))
+        b.write(raw)
+    else:
+        _w_u32(b, 0)
     return b.getvalue()
 
 
@@ -307,5 +316,10 @@ def deserialize(data: bytes) -> ConstraintSystem:
             bits_ids, result_id, base_level,
             base_const=None if base_oracle >= 0 else base_const,
             base_oracle=base_oracle if base_oracle >= 0 else None))
+    n_canon = _r_u32(r)
+    symbolic = None
+    if n_canon:
+        from . import canonical
+        symbolic = canonical.deserialize(r.read(n_canon))
     return ConstraintSystem(oracles, constraint_sets, flushes, n_channels, nz,
-                            exponents)
+                            exponents, symbolic=symbolic)

@@ -72,8 +72,16 @@ class ConstraintSystem:
     n_channels: int = 0
     non_zero_claims: list = dataclasses.field(default_factory=list)  # list[NonZeroClaim]
     exponents: list = dataclasses.field(default_factory=list)  # list[exp.Exp]
+    symbolic: object = None              # canonical.SymbolicSystem (m3-built)
 
     def digest(self) -> bytes:
+        """Grøstl-256 of the reference-format (CanonicalTower) serialization
+        of the sizeless symbolic system (`constraint_system/mod.rs:51-57`)
+        when the system came from the M3 builder; hand-built (test) systems
+        fall back to a structural hash of the sized form."""
+        if self.symbolic is not None:
+            from . import canonical
+            return canonical.digest(self.symbolic)
         toks = []
         for o in self.oracles.oracles:
             toks.append((o.id, o.n_vars, o.tower_level, o.variant, o.inner,

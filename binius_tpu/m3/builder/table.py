@@ -256,6 +256,8 @@ class M3ConstraintSystem:
         Zero constraints hold over the full capacity — gadget witnesses pad
         with zero rows, which every shipped gadget satisfies.
         """
+        from ...constraint_system import canonical as canon
+
         assert len(table_sizes) == len(self.tables)
         table_log_rows = []
         for t, size in zip(self.tables, table_sizes):
@@ -276,7 +278,22 @@ class M3ConstraintSystem:
         flushes = []
         exponents = []
         non_zero_claims = []
-        for t, log_rows, size in zip(self.tables, table_log_rows, table_sizes):
+        # sizeless (symbolic) records for the reference-format serialization
+        # + digest (`constraint_system/canonical.py`); one record per oracle,
+        # same dense id order. Step-down padding selectors are appended AFTER
+        # all symbolic oracles (the reference augments them at prove time,
+        # `verify.rs:390-430`, so they stay out of the symbolic description).
+        sym_oracles: list = []
+        sym_csets: list = []
+        sym_flushes: list = []
+        sym_exps: list = []
+        pending_flushes: list = []  # (table_idx, Flush fields..., needs_sd, vpr)
+        for t_idx, (t, log_rows, size) in enumerate(
+                zip(self.tables, table_log_rows, table_sizes)):
+            def rec(name, vpr, level, variant):
+                sym_oracles.append(canon.SymbolicOracle(
+                    name, t_idx, vpr, level, variant))
+
             for cd in t.columns:
                 col = cd.col
                 n_vars = log_rows + col.log_values_per_row
@@ -284,58 +301,93 @@ class M3ConstraintSystem:
                 nm = f"{t.name}.{col.name}"
                 if cd.kind == "committed":
                     oracle_map[key] = oracles.add_committed(n_vars, col.level, nm)
+                    rec(nm, col.log_values_per_row, col.level, ("committed",))
                 elif cd.kind == "shifted":
                     inner_id = oracle_map[(t.table_id, cd.inner.index)]
                     oracle_map[key] = oracles.add_shifted(
                         inner_id, cd.shift_offset, cd.shift_block_bits,
                         cd.shift_variant, nm)
+                    rec(nm, col.log_values_per_row, col.level,
+                        ("shifted", inner_id, cd.shift_offset,
+                         cd.shift_block_bits, cd.shift_variant))
                 elif cd.kind == "computed":
                     expr = cd.inner
                     inner_ids = [oracle_map[(t.table_id, c.index)] for c in cd.expr_cols]
                     if expr.degree() > 1:
                         oracle_map[key] = oracles.add_composite(
                             n_vars, inner_ids, expr, nm)
+                        rec(nm, col.log_values_per_row, 7,
+                            ("composite", tuple(inner_ids), expr))
                     else:
                         terms, offset = _linearize(expr, len(cd.expr_cols))
                         lc_terms = list(zip(inner_ids, terms))
                         oracle_map[key] = oracles.add_linear_combination(
                             n_vars, lc_terms, offset, nm)
+                        rec(nm, col.log_values_per_row, 7,
+                            ("linear_combination", offset, tuple(lc_terms)))
                 elif cd.kind == "constant":
                     from ...protocols.transparent import Constant
                     tp = Constant(n_vars, cd.constant, col.level)
                     oracle_map[key] = oracles.add_transparent(tp, nm)
+                    # sizeless: a row-level constant (the reference lowers
+                    # constants to a one-row transparent)
+                    rec(nm, col.log_values_per_row, col.level,
+                        ("transparent", "Constant",
+                         (("usize", col.log_values_per_row),
+                          ("f128", cd.constant), ("usize", col.level))))
                 elif cd.kind == "fixed":
                     from ...protocols.transparent import MLEFromValues
                     tp = MLEFromValues(cd.inner, col.level)
                     tid = oracles.add_transparent(tp, nm + ".pattern")
+                    rec(nm + ".pattern", col.log_values_per_row, col.level,
+                        ("transparent", "MultilinearExtensionTransparent",
+                         (("vec_f128", tuple(int(v) for v in cd.inner)),)))
                     oracle_map[key] = oracles.add_repeating(tid, log_rows, nm)
+                    rec(nm, col.log_values_per_row, col.level,
+                        ("repeating", tid))
                 elif cd.kind == "packed":
                     inner_id = oracle_map[(t.table_id, cd.inner.index)]
                     oracle_map[key] = oracles.add_packed(
                         inner_id, cd.inner.log_values_per_row, nm)
+                    rec(nm, col.log_values_per_row,
+                        cd.inner.level + cd.inner.log_values_per_row,
+                        ("packed", inner_id, cd.inner.log_values_per_row))
                 elif cd.kind == "selected":
                     inner_id = oracle_map[(t.table_id, cd.inner.index)]
                     nb = cd.inner.log_values_per_row - cd.shift_block_bits
                     bits = tuple((cd.constant >> i) & 1 for i in range(nb))
                     oracle_map[key] = oracles.add_projected(
                         inner_id, bits, cd.shift_block_bits, nm)
+                    rec(nm, col.log_values_per_row, 7,
+                        ("projected", inner_id, bits,
+                         ("offset", cd.shift_block_bits)))
                 elif cd.kind == "structured":
                     from ...protocols.transparent import StructuredArith
                     expr = _bind_high_vars_zero(cd.inner, n_vars)
                     tp = StructuredArith(expr, n_vars, col.level)
                     oracle_map[key] = oracles.add_transparent(tp, nm)
+                    # sizeless: the unbound circuit (variant 2 Structured)
+                    rec(nm, col.log_values_per_row, col.level,
+                        ("structured", cd.inner))
                 elif cd.kind in ("static_exp", "dynamic_exp"):
                     from ...constraint_system.exp import Exp
                     oracle_map[key] = oracles.add_committed(n_vars, col.level, nm)
+                    rec(nm, col.log_values_per_row, col.level, ("committed",))
                     bits_ids = tuple(oracle_map[(t.table_id, b.index)]
                                      for b in cd.expr_cols)
                     if cd.kind == "static_exp":
                         exponents.append(Exp(bits_ids, oracle_map[key], col.level,
                                              base_const=cd.constant))
+                        sym_exps.append(canon.SymbolicExp(
+                            bits_ids, ("const", cd.constant, col.level),
+                            oracle_map[key]))
                     else:
+                        base_id = oracle_map[(t.table_id, cd.inner.index)]
                         exponents.append(Exp(
                             bits_ids, oracle_map[key], col.level,
-                            base_oracle=oracle_map[(t.table_id, cd.inner.index)]))
+                            base_oracle=base_id))
+                        sym_exps.append(canon.SymbolicExp(
+                            bits_ids, ("oracle", base_id), oracle_map[key]))
             # group zero constraints by (values-per-row, group) partition
             by_vpr: dict = {}
             for name, vpr, expr, cols, group in t.zero_constraints:
@@ -348,39 +400,75 @@ class M3ConstraintSystem:
                         if c not in col_list:
                             col_list.append(c)
                 exprs = []
-                for _, expr, cols in entries:
+                sym_constraints = []
+                for name, expr, cols in entries:
                     remap = {i: col_list.index(c) for i, c in enumerate(cols)}
                     exprs.append(expr.remap_vars(remap))
+                    sym_constraints.append(canon.SymbolicConstraint(
+                        name, exprs[-1], ("zero",)))
+                ids = tuple(oracle_map[(t.table_id, c.index)] for c in col_list)
                 constraint_sets.append(ConstraintSet(
-                    log_rows + vpr,
-                    tuple(oracle_map[(t.table_id, c.index)] for c in col_list),
-                    tuple(exprs)))
-            step_down_ids: dict = {}  # per flush values-per-row
-
-            def _step_down(vpr: int):
-                # mask whole rows of a multi-value flush: values are
-                # row-major (value index = low bits), so StepDown over
-                # (log_rows + vpr, size << vpr) covers exactly `size` rows
-                if vpr not in step_down_ids:
-                    from ...protocols.transparent import StepDown
-                    step_down_ids[vpr] = oracles.add_transparent(
-                        StepDown(log_rows + vpr, size << vpr),
-                        f"{t.name}.stepdown{vpr}")
-                return step_down_ids[vpr]
+                    log_rows + vpr, ids, tuple(exprs)))
+                sym_csets.append(canon.SymbolicConstraintSet(
+                    t_idx, vpr, ids, tuple(sym_constraints)))
 
             for channel_id, direction, cols, mult, selector in t.flushes:
                 sel_ids = ((oracle_map[(t.table_id, selector.index)],)
                            if selector is not None else ())
-                if size < (1 << log_rows):
-                    sel_ids = sel_ids + (_step_down(cols[0].log_values_per_row),)
-                flushes.append(Flush(channel_id, direction,
-                                     tuple(oracle_map[(t.table_id, c.index)] for c in cols),
-                                     mult, sel_ids))
+                ids = tuple(oracle_map[(t.table_id, c.index)] for c in cols)
+                vpr = cols[0].log_values_per_row
+                pending_flushes.append((t_idx, channel_id, direction, ids,
+                                        mult, sel_ids, vpr,
+                                        size < (1 << log_rows)))
+                sym_flushes.append(canon.SymbolicFlush(
+                    t_idx, vpr, tuple(("oracle", i) for i in ids), channel_id,
+                    direction, sel_ids, mult))
             for c in t.nonzero_cols:
                 non_zero_claims.append(NonZeroClaim(oracle_map[(t.table_id, c.index)]))
+
+        # step-down padding selectors for non-power-of-two tables, appended
+        # AFTER all symbolic oracles so the sizeless description above is a
+        # clean prefix of the sized oracle set (the reference creates these
+        # at prove/verify time, `verify.rs:390-430`). StepDown masks whole
+        # rows of a multi-value flush: values are row-major (value index =
+        # low bits), so StepDown over (log_rows + vpr, size << vpr) covers
+        # exactly `size` rows.
+        step_down_ids: dict = {}  # (table_idx, vpr) -> oracle id
+
+        def _step_down(t_idx: int, vpr: int):
+            key = (t_idx, vpr)
+            if key not in step_down_ids:
+                from ...protocols.transparent import StepDown
+                t = self.tables[t_idx]
+                log_rows = table_log_rows[t_idx]
+                size = table_sizes[t_idx]
+                step_down_ids[key] = oracles.add_transparent(
+                    StepDown(log_rows + vpr, size << vpr),
+                    f"{t.name}.stepdown{vpr}")
+            return step_down_ids[key]
+
+        for t_idx, channel_id, direction, ids, mult, sel_ids, vpr, needs_sd \
+                in pending_flushes:
+            if needs_sd:
+                sel_ids = sel_ids + (_step_down(t_idx, vpr),)
+            flushes.append(Flush(channel_id, direction, ids, mult, sel_ids))
+
+        specs = []
+        for t in self.tables:
+            if t.size_spec == "fixed":
+                specs.append(("fixed", t.fixed_log_rows))
+            elif t.size_spec == "po2":
+                specs.append(("po2",))
+            else:
+                specs.append(("arbitrary",))
+        symbolic = canon.SymbolicSystem(
+            tuple(sym_oracles), tuple(sym_csets), tuple(
+                nz.oracle_id for nz in non_zero_claims),
+            tuple(sym_flushes), tuple(sym_exps), self.n_channels,
+            tuple(specs))
         return ConstraintSystem(oracles, constraint_sets, flushes,
                                 self.n_channels, non_zero_claims,
-                                exponents=exponents), oracle_map
+                                exponents=exponents, symbolic=symbolic), oracle_map
 
 
 def _bind_high_vars_zero(expr: ArithExpr, n_vars: int) -> ArithExpr:
