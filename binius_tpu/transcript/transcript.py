@@ -63,9 +63,9 @@ class _Reader:
 
 
 class ProverTranscript:
-    def __init__(self):
+    def __init__(self, hash_name: str = "groestl256"):
         self._tape = bytearray()
-        self._challenger = HasherChallenger()
+        self._challenger = HasherChallenger(hash_name)
 
     def message(self) -> _Writer:
         return _Writer(self, observe=True, write=True)
@@ -94,10 +94,10 @@ class ProverTranscript:
 
 
 class VerifierTranscript:
-    def __init__(self, proof: bytes):
+    def __init__(self, proof: bytes, hash_name: str = "groestl256"):
         self._tape = proof
         self._pos = 0
-        self._challenger = HasherChallenger()
+        self._challenger = HasherChallenger(hash_name)
 
     def message(self) -> _Reader:
         return _Reader(self, observe=True)

@@ -107,3 +107,41 @@ def test_sample_deterministic_sequence():
     seq2 = [pt2.sample_scalar(7) for _ in range(5)]
     assert seq1 == seq2
     assert len(set(seq1)) == 5
+
+
+def test_sha256_challenger_state_machine():
+    """HasherChallenger<Sha256> (`crates/hash/src/sha2.rs` alternate hash):
+    same state machine as the Grøstl instance, byte-checkable against
+    hashlib directly."""
+    import hashlib
+
+    from binius_tpu.transcript.fiat_shamir import HasherChallenger
+
+    c = HasherChallenger("sha256")
+    d0 = hashlib.sha256(b"").digest()
+    # first sample: buffer = H(""), running hasher already fed it
+    assert c.sample(8) == d0[:8]
+    c.observe(b"hello")
+    # observe absorbed the sampler index (8 bytes LE) then the data
+    h = hashlib.sha256(d0 + (8).to_bytes(8, "little") + b"hello")
+    d1 = h.digest()
+    assert c.sample(32) == d1
+    # next refill re-keys on the previous digest
+    assert c.sample(4) == hashlib.sha256(d1).digest()[:4]
+
+
+def test_sha256_transcript_round_trip():
+    from binius_tpu.transcript.transcript import (ProverTranscript,
+                                                  VerifierTranscript)
+
+    pt = ProverTranscript("sha256")
+    pt.message().write_bytes(b"abc")
+    ch = pt.sample_scalar(7)
+    proof = pt.finalize()
+    vt = VerifierTranscript(proof, "sha256")
+    assert vt.message().read_bytes(3) == b"abc"
+    assert vt.sample_scalar(7) == ch
+
+    gt = ProverTranscript()
+    gt.message().write_bytes(b"abc")
+    assert gt.sample_scalar(7) != ch  # different challenger hash
