@@ -267,7 +267,24 @@ def leaf_blobs(cw_np: np.ndarray, log_coset: int) -> np.ndarray:
     return np.ascontiguousarray(b)
 
 
-def commit_codeword(cw_np: np.ndarray, log_coset: int) -> MerkleTree:
+def commit_codeword(cw_np: np.ndarray, log_coset: int,
+                    cw_dev=None) -> MerkleTree:
+    """Host commit (prover default + verifier terminate check). With a
+    single-device-TPU codeword, the tree can build on device
+    (`merkle.tree.commit_codeword_device`) — currently OPT-IN via
+    BINIUS_DEVICE_MERKLE=1: the gather-based Grøstl permute compiles
+    pathologically on the remote TPU compile service (a fused tree kernel
+    produced a 156 MB executable in ~38 min; the split leaf kernel OOM-kills
+    the compile helper). The planned fix is a Pallas T-table kernel (one-hot
+    int8 matmuls on the MXU, SURVEY hard part #6)."""
+    import os
+    if (cw_dev is not None and cw_np.shape[0] >= (1 << 10)
+            and os.environ.get("BINIUS_DEVICE_MERKLE", "") not in ("", "0")
+            and jax.default_backend() in ("tpu", "axon")
+            and jax.device_count() == 1
+            and not mesh_mod.is_mesh_sharded(cw_dev)):
+        from ..merkle.tree import commit_codeword_device
+        return commit_codeword_device(cw_dev, log_coset)
     return MerkleTree.build(hash_leaves(leaf_blobs(cw_np, log_coset)))
 
 
@@ -318,7 +335,7 @@ class FRIFolder:
         folded_np = codeword_to_numpy(folded)
         coset_log = (p.fold_arities[n_committed + 1]
                      if n_committed + 1 < len(p.fold_arities) else p.n_final_challenges)
-        tree = commit_codeword(folded_np, coset_log)
+        tree = commit_codeword(folded_np, coset_log, cw_dev=folded)
         self.trees.append(tree)
         self.round_codewords_np.append(folded_np)
         self.round_codewords_dev.append(folded)
@@ -381,7 +398,7 @@ def fri_commit(params: FRIParams, message):
     cw = rs_encode(params, message)
     coset_log = (params.fold_arities[0] if params.fold_arities
                  else params.log_dim + params.log_batch_size)
-    tree = commit_codeword(codeword_to_numpy(cw), coset_log)
+    tree = commit_codeword(codeword_to_numpy(cw), coset_log, cw_dev=cw)
     return cw, tree
 
 

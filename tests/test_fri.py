@@ -150,3 +150,23 @@ def test_params_helpers():
     assert p.log_dim == 16 and p.log_batch_size == 4
     assert sum(p.fold_arities) < p.n_fold_rounds
     assert p.n_final_challenges == p.n_fold_rounds - sum(p.fold_arities)
+
+
+def test_device_merkle_commit_matches_host():
+    """commit_codeword_device (one-dispatch leaf hash + level reduction from
+    uint32 limbs) must agree byte-for-byte with the host tree."""
+    import jax
+    import numpy as np
+
+    from binius_tpu.merkle.tree import MerkleTree, commit_codeword_device, hash_leaves
+    from binius_tpu.protocols.fri import leaf_blobs
+
+    rng = np.random.default_rng(11)
+    cw = rng.integers(0, 2**32, size=(1 << 12, 4), dtype=np.uint32)
+    for log_coset in (0, 2):
+        host = MerkleTree.build(hash_leaves(leaf_blobs(cw, log_coset)))
+        dev = commit_codeword_device(jax.numpy.asarray(cw), log_coset)
+        assert len(host.layers) == len(dev.layers)
+        for a, b in zip(host.layers, dev.layers):
+            np.testing.assert_array_equal(a, b)
+        assert host.root == dev.root
