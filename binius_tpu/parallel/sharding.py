@@ -18,7 +18,19 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+try:
+    import jax as _jax_sm
+    import functools as _ft_sm
+
+    def shard_map(f=None, *, mesh, in_specs, out_specs, check_rep=False):
+        if f is None:
+            return _ft_sm.partial(shard_map, mesh=mesh, in_specs=in_specs,
+                                  out_specs=out_specs, check_rep=check_rep)
+        return _jax_sm.shard_map(f, mesh=mesh, in_specs=in_specs,
+                                 out_specs=out_specs, check_vma=check_rep)
+    _jax_sm.shard_map  # jax >= 0.8
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..fields import tower

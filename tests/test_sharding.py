@@ -139,3 +139,42 @@ def test_prove_mesh_with_channels_byte_equality(mesh):
                            mesh=mesh_mod.make_mesh(8))
     assert proof_mesh == proof_local
     csp.verify(core, proof_mesh, log_inv_rate=1)
+
+
+def test_sharded_ntt_matches_single_device():
+    """The explicit shard_map NTT (ppermute cross stages + per-shard coset
+    twiddles) must agree elementwise with the single-device packed path."""
+    import numpy as np
+
+    from binius_tpu.fields import tower
+    from binius_tpu.ntt import sharded_ntt
+    from binius_tpu.ntt.additive_ntt import AdditiveNTT, NTTDomain
+    from binius_tpu.parallel import mesh as mesh_mod
+
+    rng = np.random.default_rng(23)
+    for dl, log_x, log_y, coset, coset_bits, skip, inv in [
+            (5, 0, 12, 0, 0, 0, False),
+            (5, 2, 10, 0, 0, 1, False),
+            (7, 1, 11, 1, 1, 0, False),
+            (5, 0, 12, 0, 0, 0, True),
+            (7, 0, 12, 0, 0, 2, True),
+    ]:
+        n = 1 << (log_x + log_y)
+        dom = NTTDomain.create(5, log_y + coset_bits)
+        ntt = AdditiveNTT(dom)
+        if tower.has_limb_dim(dl):
+            data = tower.from_numpy(dl, rng.integers(
+                0, 2**32, size=(n, 1 << (dl - 5)), dtype=np.uint32))
+        else:
+            data = tower.from_numpy(dl, rng.integers(
+                0, 2**32, size=n, dtype=np.uint32))
+        kw = dict(coset=coset, coset_bits=coset_bits, skip_rounds=skip)
+        fn = ntt.inverse if inv else ntt.forward
+        want = np.asarray(fn(data, dl, (log_x, log_y, 0), **kw))
+        mesh = mesh_mod.make_mesh()
+        sharded = mesh_mod.put_row_sharded(mesh, dl, data, min_elems=1)
+        assert mesh_mod.is_mesh_sharded(sharded)
+        got = fn(sharded, dl, (log_x, log_y, 0), **kw)
+        m = ntt._sharded(sharded, (log_x, log_y, 0))
+        assert m is not None, "sharded dispatch did not engage"
+        np.testing.assert_array_equal(want, np.asarray(got))
