@@ -79,6 +79,28 @@ def bench_b128_mul():
     return xla, pallas
 
 
+def bench_groestl_leaf_hash():
+    """Bitsliced device Grøstl-256 over Merkle leaves: MB hashed per second
+    (the commit-phase hashing hot loop; reference criterion bench
+    `crates/hash/benches/hash.rs`). 2^16 leaves x 64 bytes, chained timing."""
+    import jax.numpy as jnp
+
+    from binius_tpu.hash.groestl_bitslice import leaf_hash_kernel
+
+    log_leaves, log_coset = 16, 2
+    n = 1 << (log_leaves + log_coset)
+    rng = np.random.default_rng(3)
+    x = jax.device_put(rng.integers(0, 2**32, size=(n, 4), dtype=np.uint32))
+
+    @jax.jit
+    def step(x):
+        d = leaf_hash_kernel(x, log_coset, 16 << log_coset).reshape(-1, 4)
+        return jnp.concatenate([x[:d.shape[0]] ^ d, x[d.shape[0]:]], axis=0)
+
+    dt = timeit(step, x, iters=10)
+    return (n * 16) / dt / 1e6
+
+
 def bench_prove(budget_s=420):
     """End-to-end constraint-system prove+verify (u32_add, 2^10 rows).
 
@@ -157,6 +179,10 @@ def _prev_round_value():
 def main():
     ntt = bench_ntt()
     b128_xla, b128_pallas = bench_b128_mul()
+    try:
+        groestl_mbps = bench_groestl_leaf_hash()
+    except Exception:
+        groestl_mbps = None
     prove_ms = bench_prove()
     prev = _prev_round_value()
     print(json.dumps({
@@ -170,6 +196,8 @@ def main():
                 round(b128_pallas, 2) if b128_pallas is not None else None),
             "u32_add_prove_2e10_warm_ms": (
                 round(prove_ms, 1) if prove_ms is not None else None),
+            "groestl_leaf_hash_MBps": (
+                round(groestl_mbps, 1) if groestl_mbps is not None else None),
         },
     }))
 

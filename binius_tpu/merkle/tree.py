@@ -19,11 +19,16 @@ from ..hash.groestl import bytes_to_state, compress, compress_pairs, groestl256_
 def hash_leaves(blobs: np.ndarray) -> np.ndarray:
     """Grøstl-256 digest of each row: (N, L) uint8 -> (N, 32) uint8.
 
-    Large batches route through the jitted device path (the analog of the
-    reference's `Groestl256Parallel` SIMD hasher); small ones stay on host.
-    """
+    Large batches route through the jitted bitsliced device kernel (the
+    analog of the reference's `Groestl256Parallel` SIMD hasher — and on the
+    TPU backend the only formulation whose compile doesn't blow up: the
+    gather-based one is quarantined in `_hash_leaves_kernel`); small ones
+    stay on host."""
     n, length = blobs.shape
     if n * length >= (1 << 16):
+        if n % 32 == 0 and length % 4 == 0:
+            from ..hash.groestl_bitslice import hash_leaves_device_bs
+            return hash_leaves_device_bs(blobs)
         return _hash_leaves_device(blobs)
     return _hash_leaves_np(blobs)
 
@@ -107,52 +112,28 @@ def vision_scheme() -> HashScheme:
 _MIN_DEVICE_ROWS = 256
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def _leaf_kernel(cw_u32, log_coset: int, blob_len: int):
-    """Grøstl-256 of each leaf, on device, from the committed codeword's
-    uint32 limbs (no host byte serialization — the canonical encoding IS the
-    little-endian limb bytes). The analog of `Groestl256Parallel`
-    (`groestl_multi_avx2.rs`)."""
-    from ..hash.groestl import compress as _compress
-    from ..hash.groestl import output_transform as _ot
-
-    n = cw_u32.shape[0] >> log_coset
-    blobs = jax.lax.bitcast_convert_type(
-        cw_u32.reshape(n, -1), jnp.uint8).reshape(n, -1)
-    pad_arr = jnp.asarray(groestl256_pad(blob_len))
-    msg = jnp.concatenate(
-        [blobs, jnp.broadcast_to(pad_arr, (n, pad_arr.shape[0]))], axis=1)
-    n_blocks = msg.shape[1] // 64
-    st = bytes_to_state(msg.reshape(n, n_blocks, 64))
-    h = jnp.broadcast_to(jnp.asarray(bytes_to_state(IV_256)), (n, 8, 8))
-    for i in range(n_blocks):
-        h = _compress(h, st[:, i], xp=jnp)
-    return _ot(h, xp=jnp)
-
-
-@jax.jit
-def _pairs_kernel(digests):
-    """One Merkle level on device. Jitted per (power-of-two) shape, so the
-    executables are shared across every tree and fold round; fusing all
-    levels into one program compiled a 156 MB executable (~38 min over the
-    remote compile service) — do NOT re-fuse."""
-    return compress_pairs(digests.reshape(-1, 64), xp=jnp)
-
-
 def commit_codeword_device(codeword, log_coset: int) -> "MerkleTree":
     """Build the Merkle tree for a device codeword ((N, limbs) uint32):
-    leaf hashing and the wide levels run on device; the tiny top levels
-    finish on the host (the parallel tree builder of
-    `merkle_tree/binary_merkle_tree.rs:211`)."""
+    leaf hashing and the wide levels run on device through the bitsliced
+    Grøstl kernels (`hash/groestl_bitslice.py` — gather-free, so the remote
+    TPU compile service handles it; the earlier table-gather formulation
+    compiled a 156 MB executable in ~38 min). The tiny top levels finish on
+    the host (the parallel tree builder of
+    `merkle_tree/binary_merkle_tree.rs:211`). Digests stay on device as
+    (N, 8) uint32 between levels; one transfer per layer at the end."""
+    from ..hash.groestl_bitslice import leaf_hash_kernel, pairs_kernel
+
     n_leaves = int(codeword.shape[0]) >> log_coset
     blob_len = int(codeword.shape[0] * np.prod(codeword.shape[1:]) * 4
                    // max(n_leaves, 1))
     n_dev = max(0, (n_leaves.bit_length() - 1)
                 - (_MIN_DEVICE_ROWS.bit_length() - 1))
-    outs = [_leaf_kernel(codeword, log_coset, blob_len)]
+    cw = codeword.reshape(codeword.shape[0], -1)
+    outs = [leaf_hash_kernel(cw, log_coset, blob_len)]
     for _ in range(n_dev):
-        outs.append(_pairs_kernel(outs[-1]))
-    layers = [np.asarray(jax.device_get(o)) for o in outs]
+        outs.append(pairs_kernel(outs[-1]))
+    layers = [np.ascontiguousarray(np.asarray(jax.device_get(o)).astype("<u4"))
+              .view(np.uint8).reshape(-1, 32) for o in outs]
     top = MerkleTree.build(layers[-1])
     return MerkleTree(layers[:-1] + top.layers, GROESTL_SCHEME)
 

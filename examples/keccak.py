@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--log-inv-rate", type=int, default=1)
     ap.add_argument("--skip-prove", action="store_true",
                     help="only build + validate the witness")
+    ap.add_argument("--skip-validate", action="store_true",
+                    help="skip witness validation (timing runs)")
+    ap.add_argument("--skip-verify", action="store_true",
+                    help="skip proof verification (timing runs)")
     args = ap.parse_args()
 
     from binius_tpu.constraint_system import prove as csp
@@ -65,15 +69,20 @@ def main():
     t1 = time.perf_counter()
     print(f"trace-gen-time: {(t1 - t0) * 1e3:.1f} ms")
 
-    validate_witness(core, witness)
-    t2 = time.perf_counter()
-    print(f"validate-time: {(t2 - t1) * 1e3:.1f} ms")
+    if not args.skip_validate:
+        validate_witness(core, witness)
+        t2 = time.perf_counter()
+        print(f"validate-time: {(t2 - t1) * 1e3:.1f} ms")
+    else:
+        t2 = time.perf_counter()
     if args.skip_prove:
         return
     proof = csp.prove(core, witness, log_inv_rate=args.log_inv_rate)
     t3 = time.perf_counter()
     print(f"prove-time: {(t3 - t2) * 1e3:.1f} ms")
     print(f"proof-size: {len(proof)} bytes")
+    if args.skip_verify:
+        return
     csp.verify(core, proof, log_inv_rate=args.log_inv_rate)
     t4 = time.perf_counter()
     print(f"verify-time: {(t4 - t3) * 1e3:.1f} ms")
