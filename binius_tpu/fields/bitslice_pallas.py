@@ -2,8 +2,9 @@
 
 The jnp bitslice path (`bitslice.py`) is HBM-bound: XLA materializes a large
 fraction of the ~14k intermediate bit-planes of the Karatsuba gate network in
-HBM (~5.5 GB of plane traffic at 2^20 elements -> 161 Melem/s measured on
-v5e). This kernel keeps the ENTIRE network in VMEM: each grid step loads one
+HBM (~5.5 GB of plane traffic at 2^20 elements -> 250 Melem/s measured on
+v5e, round 2b). This kernel keeps the ENTIRE network in VMEM (381.5 Melem/s
+end-to-end with the in-kernel transposes): each grid step loads one
 (8, 128)-word tile per input plane (256 VPU tiles in), runs the full
 2187-AND / ~14k-XOR network on registers/VMEM, and writes 128 output tiles.
 

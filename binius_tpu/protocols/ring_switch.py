@@ -294,22 +294,53 @@ def _eq_ind_eval_batch_jit(level: int, zs, qs, mixes, rc):
     pad k freely for kernel reuse.
     """
 
-    def transpose(a):
-        coords = tower.split_to_subfield(LEVEL, level, a)
-        return tower.join_from_subfield(LEVEL, level, jnp.swapaxes(coords, 1, 2))
+    acc = _eq_ind_acc_init(level, mixes)
+    acc, _ = jax.lax.scan(_eq_ind_step(level), acc, (zs, qs))
+    return tower.inner_product(LEVEL, _ta_transpose(level, acc), rc[None], axis=1)
 
-    n = mixes.shape[0]
-    acc = tower.zeros(LEVEL, (n, 1 << (7 - level)))
-    acc = acc.at[:, 0].set(mixes)
 
+def _ta_transpose(level: int, a):
+    """Swap the tensor factors of batched tensor-algebra elements
+    (n, 2^kappa, limbs): the coordinate matrix of each element transposes."""
+    coords = tower.split_to_subfield(LEVEL, level, a)
+    return tower.join_from_subfield(LEVEL, level, jnp.swapaxes(coords, 1, 2))
+
+
+def _eq_ind_step(level: int):
     def step(acc, zq):
         z, q = zq
         vert = tower.mul(LEVEL, acc, z[:, None])
-        hztl = transpose(tower.mul(LEVEL, transpose(acc), q[None, None]))
+        hztl = _ta_transpose(level, tower.mul(LEVEL, _ta_transpose(level, acc),
+                                              q[None, None]))
         return acc ^ vert ^ hztl, None
+    return step
 
-    acc, _ = jax.lax.scan(step, acc, (zs, qs))
-    return tower.inner_product(LEVEL, transpose(acc), rc[None], axis=1)
+
+def _eq_ind_acc_init(level: int, mixes):
+    acc = tower.zeros(LEVEL, (mixes.shape[0], 1 << (7 - level)))
+    return acc.at[:, 0].set(mixes)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _eq_ind_suffix_products_jit(level: int, zs, qs):
+    """P_s = prod_i (1 + z_i (x) 1 + 1 (x) q_i) per distinct suffix, with unit
+    mixing: (u, 2^kappa, limbs) tensor-algebra elements. The algebra is
+    commutative, so a claim's eval is fold_vertical((mix (x) 1) * P_s) —
+    the expensive k-step scan depends only on the suffix."""
+    ones = tower.from_ints(LEVEL, [1] * zs.shape[1])
+    acc = _eq_ind_acc_init(level, ones)
+    acc, _ = jax.lax.scan(_eq_ind_step(level), acc, (zs, qs))
+    return acc
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _eq_ind_apply_mix_fold_jit(level: int, prods, sel, mixes, rc):
+    """out_i = fold_vertical((mix_i (x) 1) * P_{sel_i}): gather the suffix
+    product, scale every vertical coefficient by the claim's mixing
+    coefficient, transpose, row-fold with rc."""
+    acc = jnp.take(prods, sel, axis=0)
+    acc = tower.mul(LEVEL, acc, mixes[:, None])
+    return tower.inner_product(LEVEL, _ta_transpose(level, acc), rc[None], axis=1)
 
 
 def ring_switch_eq_ind_eval_batch(level: int, suffixes: list, mixes: list[int],
@@ -317,21 +348,49 @@ def ring_switch_eq_ind_eval_batch(level: int, suffixes: list, mixes: list[int],
                                   query: list[int]) -> list[int]:
     """Evaluate A for many claims (same level, same suffix length) at one
     shared query point with a single device kernel. Claim count and step
-    count are padded to powers of two so kernels are reused across groups."""
+    count are padded to powers of two so kernels are reused across groups.
+
+    The mixing coefficient enters as `from_vertical(mix)` = left-mult by
+    (mix (x) 1) in the COMMUTATIVE tensor algebra, so it commutes through
+    every recursion step (`eq_ind.rs:163-184`): the expensive k-step scan
+    depends only on the suffix. With duplicate suffixes (evalcheck funnels
+    committed claims to a handful of shared points — keccak 2^6: 1926
+    claims, 1 distinct suffix) the scan runs once per DISTINCT suffix and a
+    cheap gather-scale-fold kernel applies each claim's mix."""
     n = len(mixes)
     k = len(query)
     assert all(len(s) == k for s in suffixes)
-    pad_n = 1 << max(0, (n - 1).bit_length())
+    uniq: dict[tuple, int] = {}
+    for s in suffixes:
+        uniq.setdefault(tuple(s), len(uniq))
     pad_k = 1 << max(0, (k - 1).bit_length())
+    qs = tower.from_ints(LEVEL, list(query) + [0] * (pad_k - k))
+    rc = tower.from_ints(LEVEL, list(row_coeffs[:1 << (7 - level)]))
+    if len(uniq) < n:
+        u = len(uniq)
+        pad_u = 1 << max(0, (u - 1).bit_length())
+        flat = [0] * (pad_k * pad_u)
+        for i, s in enumerate(uniq):
+            for j in range(k):
+                flat[j * pad_u + i] = s[j]
+        zs = tower.from_ints(LEVEL, flat)
+        zs = zs.reshape(tower.elem_shape(LEVEL, (pad_k, pad_u)))
+        prods = _eq_ind_suffix_products_jit(level, zs, qs)
+        pad_n = 1 << max(0, (n - 1).bit_length())
+        sel = np.zeros(pad_n, dtype=np.int32)
+        for i, s in enumerate(suffixes):
+            sel[i] = uniq[tuple(s)]
+        mx = tower.from_ints(LEVEL, list(mixes) + [0] * (pad_n - n))
+        out = _eq_ind_apply_mix_fold_jit(level, prods, jnp.asarray(sel), mx, rc)
+        return tower.to_ints(LEVEL, out)[:n]
+    pad_n = 1 << max(0, (n - 1).bit_length())
     flat = [0] * (pad_k * pad_n)
     for i, s in enumerate(suffixes):
         for j in range(k):
             flat[j * pad_n + i] = s[j]
     zs = tower.from_ints(LEVEL, flat)
     zs = zs.reshape(tower.elem_shape(LEVEL, (pad_k, pad_n)))
-    qs = tower.from_ints(LEVEL, list(query) + [0] * (pad_k - k))
     mx = tower.from_ints(LEVEL, list(mixes) + [0] * (pad_n - n))
-    rc = tower.from_ints(LEVEL, list(row_coeffs[:1 << (7 - level)]))
     out = _eq_ind_eval_batch_jit(level, zs, qs, mx, rc)
     return tower.to_ints(LEVEL, out)[:n]
 
