@@ -149,10 +149,29 @@ def _pad_stack_pow2(stack):
 def batched_evaluate_partial_high(level: int, stack, n_vars: int, eq, keep: int,
                                   spmd: bool = False):
     """Bind the high n_vars-keep variables of k stacked multilinears to a
-    B128 query given as its eq expansion; see `_batched_partial_high_data`."""
+    B128 query given as its eq expansion; see `_batched_partial_high_data`.
+
+    level may be `tower.P1` (bit-packed B1 words): the stack stays packed
+    across HBM and unpacks inside the kernel (fused — only the words cross)."""
     stack, k = _pad_stack_pow2(stack)
     eq, spmd = _mesh_align(stack, eq, spmd)
+    if level == tower.P1:
+        return 7, _batched_partial_high_p1(stack, n_vars, eq, keep, spmd)[:k]
     return 7, _batched_partial_high_data(level, stack, n_vars, eq, keep, spmd)[:k]
+
+
+@functools.partial(jax.jit, static_argnums=(1, 3, 4))
+def _batched_partial_high_p1(words, n_vars: int, eq, keep: int,
+                             spmd: bool = False):
+    return _batched_partial_high_data.__wrapped__(
+        0, tower.unpack_b1(words), n_vars, eq, keep, spmd)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 3, 4))
+def _batched_partial_low_p1(words, n_vars: int, coeffs, bind: int,
+                            spmd: bool = False):
+    return _batched_partial_low_data.__wrapped__(
+        0, tower.unpack_b1(words), n_vars, coeffs, bind, spmd)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2, 4, 5))
@@ -179,9 +198,13 @@ def _batched_partial_low_data(level: int, stack, n_vars: int, coeffs, bind: int,
 def batched_evaluate_partial_low(level: int, stack, n_vars: int, coeffs, bind: int,
                                  spmd: bool = False):
     """Bind the low `bind` variables of k stacked multilinears with a B128
-    coefficient vector (eq expansion or Lagrange coefficients)."""
+    coefficient vector (eq expansion or Lagrange coefficients).
+
+    level may be `tower.P1` (bit-packed B1 words; unpacked inside the jit)."""
     stack, k = _pad_stack_pow2(stack)
     coeffs, spmd = _mesh_align(stack, coeffs, spmd)
+    if level == tower.P1:
+        return 7, _batched_partial_low_p1(stack, n_vars, coeffs, bind, spmd)[:k]
     return 7, _batched_partial_low_data(level, stack, n_vars, coeffs, bind, spmd)[:k]
 
 

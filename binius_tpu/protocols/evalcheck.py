@@ -233,10 +233,15 @@ class _Walker:
             groups.setdefault((ilevel, inner.n_vars, z_high), []).append(idx)
         chunks, order = [], []
         for (ilevel, n, z_high), idxs in groups.items():
-            ilevel = max(ilevel, 0)
-            stack = jnp.stack(
-                [tower.resolve_p1(*self.witness[entries[i].oracle.inner[0]])[1]
-                 for i in idxs], axis=0)
+            if n == b or ilevel != tower.P1:
+                # packed B1 columns stay packed into the projection kernel
+                # (tower.P1 group); unpack only for the direct-embed case
+                datas = [tower.resolve_p1(*self.witness[entries[i].oracle.inner[0]])[1]
+                         for i in idxs]
+                ilevel = max(ilevel, 0)
+            else:
+                datas = [self.witness[entries[i].oracle.inner[0]][1] for i in idxs]
+            stack = jnp.stack(datas, axis=0)
             if n == b:
                 proj = tower.embed(ilevel, LEVEL, stack)
             else:

@@ -34,15 +34,27 @@ class FrontLoadedBatchProver:
     `front_loaded.rs` `BatchProver::new_prebatched`); None samples fresh ones.
     Provers with `eq_ind_challenges` set skip their position-0 (eq indicator)
     eval in the transcript — the verifier reconstructs it.
+
+    A prover may carry several claims (`multi_claim = True`, e.g.
+    `GroupedRegularSumcheckProver`): it consumes one batching coefficient per
+    claim, its `compute_round_polys`/`finish` return one entry per claim, and
+    the transcript stays byte-identical to separate per-claim provers.
     """
 
     def __init__(self, provers: list, transcript, coeffs: list | None = None):
         assert all(provers[i].n_vars <= provers[i + 1].n_vars for i in range(len(provers) - 1))
         self.provers = list(provers)   # queue front = fewest vars
+        n_claims = sum(getattr(p, "n_claims", 1) for p in provers)
         if coeffs is None:
-            coeffs = transcript.sample_scalars(LEVEL, len(provers))
-        assert len(coeffs) == len(provers)
-        self.coeffs = list(coeffs)
+            coeffs = transcript.sample_scalars(LEVEL, n_claims)
+        assert len(coeffs) == n_claims
+        # per-prover claim-coefficient lists, claim order
+        self.coeffs: list[list] = []
+        pos = 0
+        for p in provers:
+            n = getattr(p, "n_claims", 1)
+            self.coeffs.append(list(coeffs[pos:pos + n]))
+            pos += n
         self.round = 0
         self.multilinear_evals: list = []  # claim-order final evals (incl. eq)
         self.finish_rounds: list = []      # round at which each claim finished
@@ -51,23 +63,28 @@ class FrontLoadedBatchProver:
         while self.provers and self.provers[0].n_vars == self.round:
             p = self.provers.pop(0)
             self.coeffs.pop(0)
-            evals = p.finish()
-            send = evals[1:] if getattr(p, "eq_ind_challenges", None) is not None else evals
-            writer.write_scalars(LEVEL, send)
-            self.multilinear_evals.append(evals)
-            self.finish_rounds.append(self.round)
+            finished = p.finish()
+            per_claim = finished if getattr(p, "multi_claim", False) else [finished]
+            for evals in per_claim:
+                send = evals[1:] if getattr(p, "eq_ind_challenges", None) is not None else evals
+                writer.write_scalars(LEVEL, send)
+                self.multilinear_evals.append(evals)
+                self.finish_rounds.append(self.round)
 
     def send_round_proof(self, transcript) -> None:
         w = transcript.message()
         self._finish_ready(w)
         combined: list[int] = []
-        for p, c in zip(self.provers, self.coeffs):
+        for p, cs in zip(self.provers, self.coeffs):
             polys = p.compute_round_polys()
-            weights = [c]
-            for _ in range(len(polys) - 1):
-                weights.append(scalar.mul(LEVEL, weights[-1], c))
-            for coeffs_j, wgt in zip(polys, weights):
-                combined = common.add_coeffs(combined, common.scale_coeffs(coeffs_j, wgt))
+            per_claim = polys if getattr(p, "multi_claim", False) else [polys]
+            assert len(per_claim) == len(cs)
+            for claim_polys, c in zip(per_claim, cs):
+                weights = [c]
+                for _ in range(len(claim_polys) - 1):
+                    weights.append(scalar.mul(LEVEL, weights[-1], c))
+                for coeffs_j, wgt in zip(claim_polys, weights):
+                    combined = common.add_coeffs(combined, common.scale_coeffs(coeffs_j, wgt))
         deg = max((max(cs.composition.degree() for cs in p.claim.composite_sums)
                    if p.claim.composite_sums else 0 for p in self.provers), default=0)
         combined = combined + [0] * (deg + 1 - len(combined))

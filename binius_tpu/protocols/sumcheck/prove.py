@@ -342,6 +342,160 @@ class RegularSumcheckProver:
         return out
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 5, 7))
+def _grouped_round_coeffs_jit(comp_specs: tuple, log_padded: int, order_high: bool,
+                              gstack, active, points: tuple, interp,
+                              spmd: bool = False):
+    """Round-polynomial coefficients for G same-structure claims in ONE
+    dispatch. gstack: (G, m, padded, 4) B128 — every claim's multilinears on
+    a leading group axis (row 0 = the shared eq-indicator expansion for
+    eq-ind claims). interp: (n_pts, n_pts, 4) inverse-Vandermonde rows.
+
+    The group axis is pure data parallelism: the traced graph is the same op
+    count as one claim's kernel, just on (G, ...) tensors, so grouping 24
+    claims costs ONE compile and ONE relay round-trip per round instead of
+    24. Returns (n_comps, n_coeffs, G, 4).
+    """
+    half = 1 << (log_padded - 1)
+    act_half = active >> 1
+    if order_high:
+        e0 = jax.lax.slice_in_dim(gstack, 0, half, axis=2)
+        e1 = jax.lax.dynamic_slice_in_dim(gstack, act_half, half, axis=2)
+    else:
+        d = gstack.reshape(gstack.shape[0], gstack.shape[1], half, 2, 4)
+        e0, e1 = d[:, :, :, 0, :], d[:, :, :, 1, :]
+    mask = _mask01(half, act_half, 1)[None, :, :]       # (1, half, 1)
+    at_point = []
+    for x in points:
+        if x == 0:
+            at_point.append(e0)
+        elif x == 1:
+            at_point.append(e1)
+        else:
+            xc = tower.full(LEVEL, (), x)
+            at_point.append(fold.extrapolate_line(LEVEL, e0, e1, xc))
+    rows = []
+    for cexpr, used in comp_specs:
+        for ev in at_point:
+            v = cexpr.evaluate(LEVEL, [ev[:, u] for u in used])   # (G, half, 4)
+            v = jnp.where(mask.astype(bool), v, jnp.zeros_like(v))
+            rows.append(tower.xor_reduce(v, axis=1, spmd=spmd))   # (G, 4)
+    n_pts = len(at_point)
+    vals = jnp.stack(rows).reshape(len(comp_specs), n_pts, -1, 4)
+    # device interpolation: coeffs[j] = XOR_i interp[j, i] * vals[i]
+    prod = tower.mul(LEVEL, interp[None, :, :, None, :], vals[:, None, :, :, :])
+    return tower.xor_reduce(prod, axis=2)  # (n_comps, n_coeffs, G, 4)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _grouped_fold_jit(log_padded: int, order_high: bool, gstack, r, active):
+    """Fold one variable of every claim in the group; ONE dispatch."""
+    half = 1 << (log_padded - 1)
+    act_half = active >> 1
+    if order_high:
+        e0 = jax.lax.slice_in_dim(gstack, 0, half, axis=2)
+        e1 = jax.lax.dynamic_slice_in_dim(gstack, act_half, half, axis=2)
+    else:
+        d = gstack.reshape(gstack.shape[0], gstack.shape[1], half, 2, 4)
+        e0, e1 = d[:, :, :, 0, :], d[:, :, :, 1, :]
+    folded = fold.extrapolate_line(LEVEL, e0, e1, r)
+    return jnp.concatenate([folded, jnp.zeros_like(folded)], axis=2)
+
+
+class GroupedRegularSumcheckProver:
+    """G claims with IDENTICAL structure (n_vars, compositions, multilinear
+    count/order) proven as one device-resident batch: a (G, m, padded, 4)
+    stack, one round-eval+interpolate kernel and one fold kernel per round
+    for the whole group.
+
+    Transcript-equivalent to G separate `RegularSumcheckProver`s inside a
+    front-loaded batch (`multi_claim` protocol): per-claim round polys are
+    returned for host-side phi-power mixing and per-claim final evals are
+    written in claim order. This collapses the uzc stage-2 dispatch count —
+    keccak's 24 round-group claims go from 48 relay round-trips per sumcheck
+    round to 2 (reference analog: the per-claim `MemoizedData` amortization
+    in `sumcheck/prove/batch_prove.rs` taken across claims).
+    """
+
+    multi_claim = True
+
+    def __init__(self, claims: list, gstack, order_high: bool,
+                 eq_ind_challenges: tuple | None = None):
+        """claims: list[SumcheckClaim], all structurally identical. gstack:
+        (G, m, 2^n_vars, 4) B128 device array (claim-major; row 0 per claim
+        must be the eq expansion when eq_ind_challenges is set)."""
+        assert claims
+        nv = claims[0].n_vars
+        assert all(c.n_vars == nv for c in claims)
+        assert all(c.composite_sums[i].composition.expr
+                   == claims[0].composite_sums[i].composition.expr
+                   for c in claims for i in range(len(c.composite_sums)))
+        self.claims = claims
+        self.claim = claims[0]
+        self.n_claims = len(claims)
+        self.order_high = order_high
+        self.eq_ind_challenges = eq_ind_challenges
+        self.n_remaining = nv
+        self.log_padded = max(_bucket_log(nv), 1)
+        self.spmd = False
+        if gstack.shape[2] < (1 << self.log_padded):
+            pad = ((0, 0), (0, 0), (0, (1 << self.log_padded) - gstack.shape[2]), (0, 0))
+            gstack = jnp.pad(gstack, pad)
+        self.gstack = gstack
+        deg = self.claim.max_individual_degree()
+        self.domain = EvaluationDomain.from_subspace(3, deg + 1)
+        self._interp = jnp.asarray(_interp_matrix_np(self.domain.points))
+        self._compact = []
+        for cs in self.claim.composite_sums:
+            used = sorted(cs.composition.expr.vars_used())
+            remap = {v: i for i, v in enumerate(used)}
+            self._compact.append((cs.composition.expr.remap_vars(remap), tuple(used)))
+
+    @property
+    def n_vars(self) -> int:
+        return self.claims[0].n_vars
+
+    def compute_round_polys(self) -> list[list[list[int]]]:
+        """Per claim, per composition: round-poly coefficients."""
+        active = jnp.uint32(1 << self.n_remaining)
+        coeffs = _grouped_round_coeffs_jit(tuple(self._compact), self.log_padded,
+                                           self.order_high, self.gstack, active,
+                                           self.domain.points, self._interp,
+                                           self.spmd)
+        flat = np.asarray(jax.device_get(coeffs))  # (n_comps, n_coeffs, G, 4)
+        n_comps, n_coeffs = flat.shape[0], flat.shape[1]
+        out = []
+        for g in range(self.n_claims):
+            claim_polys = []
+            for ci in range(n_comps):
+                claim_polys.append([
+                    int(sum(int(x) << (32 * k) for k, x in enumerate(flat[ci, j, g])))
+                    for j in range(n_coeffs)])
+            out.append(claim_polys)
+        return out
+
+    def fold(self, challenge: int) -> None:
+        ch = tower.from_ints(LEVEL, [challenge])[0]
+        active = jnp.uint32(1 << self.n_remaining)
+        self.gstack = _grouped_fold_jit(self.log_padded, self.order_high,
+                                        self.gstack, ch, active)
+        self.n_remaining -= 1
+        target = max(_bucket_log(self.n_remaining), 0)
+        if self.log_padded > target:
+            self.gstack = jax.lax.slice_in_dim(self.gstack, 0, 1 << target, axis=2)
+            self.log_padded = target
+
+    def finish(self) -> list[list[int]]:
+        """Per-claim multilinear evals (eq eval included), claim order."""
+        assert self.n_remaining == 0
+        vals = np.asarray(jax.device_get(self.gstack[:, :, 0, :]))  # (G, m, 4)
+        out = []
+        for g in range(self.n_claims):
+            out.append([int(sum(int(x) << (32 * k) for k, x in enumerate(vals[g, mi])))
+                        for mi in range(vals.shape[1])])
+        return out
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1, 6))
 def _biv_round_values_jit(log_padded: int, order_high: bool, stack, idx_a, idx_b,
                           active, spmd: bool = False):
@@ -399,24 +553,38 @@ class BivariateSumcheckProver:
 
     eq_ind_challenges = None
 
-    def __init__(self, claim: SumcheckClaim, multilinears, order_high: bool = True):
-        assert len(multilinears) == claim.n_multilinears
+    def __init__(self, claim: SumcheckClaim, multilinears=None,
+                 order_high: bool = True, prestacked=None):
         self.claim = claim
         self.order_high = order_high
         self.n_remaining = claim.n_vars
         self.log_padded = max(_bucket_log(claim.n_vars), 1) if claim.n_vars else 0
-        self.mesh = next((mesh_mod.mesh_of(d) for _, d in multilinears
-                          if mesh_mod.is_mesh_sharded(d)), None)
-        self.spmd = self.mesh is not None
-        cols = []
-        for lvl, d in multilinears:
-            if lvl < LEVEL:
-                d = tower.embed(lvl, LEVEL, d)
-            d = _pad_to(LEVEL, d, self.log_padded)
-            if self.spmd:
-                d = mesh_mod.put_row_sharded(self.mesh, LEVEL, d)
-            cols.append(d)
-        self.stack = jnp.stack(cols, axis=0)  # (m, padded, 4)
+        if prestacked is not None:
+            # (m, 2^n_vars, 4) B128 stack built by the caller (avoids m
+            # per-column embed/pad dispatches — the uzc stage-3 path)
+            assert prestacked.shape[0] == claim.n_multilinears
+            self.mesh = mesh_mod.mesh_of(prestacked) \
+                if mesh_mod.is_mesh_sharded(prestacked) else None
+            self.spmd = self.mesh is not None
+            if prestacked.shape[1] < (1 << self.log_padded):
+                prestacked = jnp.pad(
+                    prestacked,
+                    ((0, 0), (0, (1 << self.log_padded) - prestacked.shape[1]), (0, 0)))
+            self.stack = prestacked
+        else:
+            assert len(multilinears) == claim.n_multilinears
+            self.mesh = next((mesh_mod.mesh_of(d) for _, d in multilinears
+                              if mesh_mod.is_mesh_sharded(d)), None)
+            self.spmd = self.mesh is not None
+            cols = []
+            for lvl, d in multilinears:
+                if lvl < LEVEL:
+                    d = tower.embed(lvl, LEVEL, d)
+                d = _pad_to(LEVEL, d, self.log_padded)
+                if self.spmd:
+                    d = mesh_mod.put_row_sharded(self.mesh, LEVEL, d)
+                cols.append(d)
+            self.stack = jnp.stack(cols, axis=0)  # (m, padded, 4)
         idx_a, idx_b = [], []
         for cs in claim.composite_sums:
             expr = cs.composition.expr

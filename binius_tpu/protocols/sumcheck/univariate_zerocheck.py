@@ -326,39 +326,94 @@ def batch_prove(zc_claims: list[ZerocheckClaim], mls_per_claim: list,
     # --- stage 2: eq-ind sumchecks over unskipped variables (high-to-low) ---
     sub_points = points[:1 << k]
     lagr_cube = lagrange_evals_device(sub_points, u_challenge)  # (2^k, 4)
-    s2_provers = []
-    ci = 0
-    for zc, mls, eq_pt in zip(zc_claims, mls_per_claim, eq_pts):
-        n_c = len(zc.compositions)
-        sums_i = claimed_sums[ci:ci + n_c]
-        ci += n_c
-        folded = _fold_skipped(mls, zc.n_vars, k, lagr_cube)
+
+    def s2_claim(zc, sums_i):
         base = to_sumcheck_claim(zc)
-        claim = SumcheckClaim(zc.n_vars - k, zc.n_multilinears + 1, tuple(
+        return SumcheckClaim(zc.n_vars - k, zc.n_multilinears + 1, tuple(
             CompositeSumClaim(cs.composition, s)
             for cs, s in zip(base.composite_sums, sums_i)))
-        eq_ml = sc_prove.eq_ind_expansion_multilinear(list(eq_pt))
-        s2_provers.append(sc_prove.RegularSumcheckProver(
-            claim, [eq_ml, *folded], order_high=True,
-            eq_ind_challenges=tuple(eq_pt)))
+
+    comp_starts = []
+    ci = 0
+    for zc in zc_claims:
+        comp_starts.append(ci)
+        ci += len(zc.compositions)
+
+    # Grouped same-structure proving follows the dispatch-regime split
+    # (sumcheck/prove.py `_batch_round_kernels`): the grouped kernel is the
+    # same op count as ONE claim's batched kernel on (G, ...) tensors — a
+    # huge dispatch win on TPU (24 keccak claims: 2 relay round-trips per
+    # round instead of 48) but it inherits the XLA:CPU compile blowup of
+    # batched round kernels (~4 min for the keccak 25-composition graph).
+    group_ok = sc_prove._batch_round_kernels()
+    s2_provers = []
+    i = 0
+    while i < len(zc_claims):
+        zc = zc_claims[i]
+        j = i + 1
+        if (group_ok and not mesh_on and zc.n_vars - k >= 1
+                and not any(mesh_mod.is_mesh_sharded(d)
+                            for _, d in mls_per_claim[i])):
+            key_i = _structure_key(zc)
+            while (j < len(zc_claims)
+                   and _structure_key(zc_claims[j]) == key_i
+                   and not any(mesh_mod.is_mesh_sharded(d)
+                               for _, d in mls_per_claim[j])):
+                j += 1
+        eq_pt = eq_pts[i]
+        if j - i >= 2:
+            # grouped: same-structure claims proven as ONE device batch
+            run_claims = [
+                s2_claim(zc_claims[g],
+                         claimed_sums[comp_starts[g]:comp_starts[g]
+                                      + len(zc_claims[g].compositions)])
+                for g in range(i, j)]
+            eq_ml = sc_prove.eq_ind_expansion_multilinear(list(eq_pt))
+            gstack = _fold_skipped_group([mls_per_claim[g] for g in range(i, j)],
+                                         zc.n_vars, k, lagr_cube, eq_ml[1])
+            s2_provers.append(sc_prove.GroupedRegularSumcheckProver(
+                run_claims, gstack, order_high=True,
+                eq_ind_challenges=tuple(eq_pt)))
+        else:
+            mls = mls_per_claim[i]
+            folded = _fold_skipped(mls, zc.n_vars, k, lagr_cube)
+            claim = s2_claim(zc, claimed_sums[comp_starts[i]:comp_starts[i]
+                                              + len(zc.compositions)])
+            eq_ml = sc_prove.eq_ind_expansion_multilinear(list(eq_pt))
+            s2_provers.append(sc_prove.RegularSumcheckProver(
+                claim, [eq_ml, *folded], order_high=True,
+                eq_ind_challenges=tuple(eq_pt)))
+            j = i + 1
+        i = j
     t0 = _trace("stage2 setup (fold_skipped)", t0)
     fl2, s2_challenges = _run_front_loaded_prove(s2_provers, transcript,
                                                  coeffs=batch_coeffs)
-    t0 = _trace(f"stage2 eq-ind sumchecks ({len(s2_provers)} provers)", t0)
+    t0 = _trace(f"stage2 eq-ind sumchecks ({len(s2_provers)} provers, "
+                f"{len(zc_claims)} claims)", t0)
 
     # --- stage 3: univariatizing reduction sumcheck over skipped variables ---
-    proj_mls, red_sums = [], []
-    for i, (zc, mls) in enumerate(zip(zc_claims, mls_per_claim)):
-        n_unskipped = zc.n_vars - k
-        pt = list(reversed(s2_challenges[:n_unskipped]))
-        proj = _project_skipped(mls, zc.n_vars, k, pt)
-        proj_mls.extend(proj)
+    red_sums = []
+    for i in range(len(zc_claims)):
         red_sums.extend(fl2.multilinear_evals[i][1:])  # drop eq eval
-    n_total = len(proj_mls)
+    # project all claims with equal n_vars in one batched kernel chain
+    # (claims are ascending by n_vars so equal-n runs are contiguous)
+    proj_parts = []
+    i = 0
+    while i < len(zc_claims):
+        nv = zc_claims[i].n_vars
+        j = i + 1
+        while j < len(zc_claims) and zc_claims[j].n_vars == nv:
+            j += 1
+        flat_mls = [ml for g in range(i, j) for ml in mls_per_claim[g]]
+        pt = list(reversed(s2_challenges[:nv - k]))
+        proj_parts.append(_project_skipped_stacked(flat_mls, nv, k, pt))
+        i = j
+    proj_stack = jnp.concatenate([*proj_parts, lagr_cube[None]], axis=0)
+    n_total = proj_stack.shape[0] - 1
     red_claim = SumcheckClaim(k, n_total + 1,
                               _reduction_composites(n_total, red_sums))
     red_prover = sc_prove.BivariateSumcheckProver(
-        red_claim, [*proj_mls, (LEVEL, lagr_cube)], order_high=True)
+        red_claim, prestacked=proj_stack, order_high=True)
     fl3, s3_challenges = _run_front_loaded_prove([red_prover], transcript)
     t0 = _trace(f"stage3 reduction ({n_total} multilinears)", t0)
     skipped = list(reversed(s3_challenges))
@@ -374,6 +429,73 @@ def batch_prove(zc_claims: list[ZerocheckClaim], mls_per_claim: list,
         pt = skipped + list(reversed(s2_challenges[:zc.n_vars - k]))
         out_points.append(pt)
     return BatchZerocheckOutput(skipped, s2_challenges, out_evals, out_points)
+
+
+def _structure_key(zc: ZerocheckClaim):
+    """Claims with equal keys share composition structure exactly and can be
+    proven as one `GroupedRegularSumcheckProver` batch (keccak's 24
+    round-group tables are identical up to witness data)."""
+    return (zc.n_vars, zc.n_multilinears, tuple(c.expr for c in zc.compositions))
+
+
+def _fold_skipped_group(mls_per_claim: list, n: int, k: int, lagr_cube,
+                        eq_data):
+    """Grouped `_fold_skipped`: Lagrange-fold the low k vars of EVERY claim's
+    multilinears in one batched kernel chain and assemble the
+    (G, m + 1, 2^(n-k), 4) group stack (row 0 = shared eq expansion)."""
+    G = len(mls_per_claim)
+    m = len(mls_per_claim[0])
+    # bit-packed B1 columns stack as words and unpack inside the fold jit
+    # (grouping by tower.P1; see mle.batched_evaluate_partial_low)
+    flat = [ml for mls in mls_per_claim for ml in mls]
+    groups: dict = {}
+    for idx, (lvl, _) in enumerate(flat):
+        groups.setdefault(lvl, []).append(idx)
+    parts, order = [], []
+    for lvl, idxs in groups.items():
+        stack = jnp.stack([flat[i][1] for i in idxs], axis=0)
+        _, folded = mle.batched_evaluate_partial_low(lvl, stack, n, lagr_cube, k)
+        parts.append(folded)
+        order.extend(idxs)
+    full = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+    if order != list(range(len(flat))):
+        import numpy as _np
+        inv = _np.argsort(_np.asarray(order))
+        full = full[jnp.asarray(inv, dtype=jnp.int32)]
+    body = full.reshape(G, m, full.shape[1], 4)
+    eq_rows = jnp.broadcast_to(eq_data[None, None], (G, 1, eq_data.shape[0], 4))
+    return jnp.concatenate([eq_rows, body], axis=1)
+
+
+def _project_skipped_stacked(mls: list, n: int, k: int, point: list[int]):
+    """`_project_skipped` without the per-multilinear splits: returns ONE
+    (len(mls), 2^k, 4) B128 stack in input order (feeds the stage-3
+    prestacked bivariate prover without len(mls) slice dispatches). Packed
+    B1 columns group under tower.P1 and unpack inside the kernel."""
+    groups: dict = {}
+    for i, (lvl, _) in enumerate(mls):
+        groups.setdefault(lvl, []).append(i)
+    parts, order = [], []
+    if n == k:
+        for lvl, idxs in groups.items():
+            stack = jnp.stack([tower.resolve_p1(lvl, mls[i][1])[1] if lvl == tower.P1
+                               else mls[i][1] for i in idxs], axis=0)
+            lvl = max(lvl, 0)
+            parts.append(tower.embed(lvl, LEVEL, stack) if lvl < LEVEL else stack)
+            order.extend(idxs)
+    else:
+        eq = mle.eq_ind_partial_eval(LEVEL, tower.from_ints(LEVEL, point))
+        for lvl, idxs in groups.items():
+            stack = jnp.stack([mls[i][1] for i in idxs], axis=0)
+            _, proj = mle.batched_evaluate_partial_high(lvl, stack, n, eq, k)
+            parts.append(proj)
+            order.extend(idxs)
+    full = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+    if order != list(range(len(mls))):
+        import numpy as _np
+        inv = _np.argsort(_np.asarray(order))
+        full = full[jnp.asarray(inv, dtype=jnp.int32)]
+    return full
 
 
 def _fold_skipped(mls: list, n: int, k: int, lagr_cube) -> list:

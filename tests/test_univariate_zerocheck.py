@@ -121,3 +121,35 @@ def test_univariate_zerocheck_rejects_nonzero():
     comp_val = evs[0] ^ scalar.mul(LEVEL, evs[1], evs[2])
     # out + a*b does not vanish at the reduced point for a corrupted witness
     assert not (ok and comp_val == 0)
+
+
+def test_grouped_stage2_transcript_byte_equality(monkeypatch):
+    """Same-structure claims proven grouped (one device batch) must produce
+    byte-identical proofs to per-claim provers (the keccak 24-round-group
+    dispatch optimization; GroupedRegularSumcheckProver)."""
+    rng = random.Random(7)
+    claims, mls = [], []
+    for _ in range(3):
+        c, m = _mk_claim_and_mls(6, rng)
+        claims.append(c)
+        mls.append(m)
+    # one different-structure claim on top (stays a single prover)
+    V = ArithExpr.var
+    comp = CompositionPoly(V(0) + V(1) * V(1), 2)
+    a = [rng.randrange(2) for _ in range(1 << 6)]
+    out = [x & x for x in a]
+    claims.append(ZerocheckClaim(6, 2, (comp,)))
+    mls.append([(0, tower.from_ints(0, out)), (0, tower.from_ints(0, a))])
+    skip = uzc.compute_skip_rounds(claims)
+
+    proofs = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("BINIUS_BATCH_ROUND_KERNELS", flag)
+        pt = ProverTranscript()
+        uzc.batch_prove(claims, mls, pt, skip)
+        proofs[flag] = pt.finalize()
+    assert proofs["0"] == proofs["1"]
+
+    vt = VerifierTranscript(proofs["1"])
+    uzc.batch_verify(claims, vt, skip)
+    vt.finalize()
