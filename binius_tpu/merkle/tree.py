@@ -112,15 +112,21 @@ def vision_scheme() -> HashScheme:
 _MIN_DEVICE_ROWS = 256
 
 
-def commit_codeword_device(codeword, log_coset: int) -> "MerkleTree":
+def commit_codeword_device(codeword, log_coset: int) -> "DeviceMerkleTree":
     """Build the Merkle tree for a device codeword ((N, limbs) uint32):
     leaf hashing and the wide levels run on device through the bitsliced
     Grøstl kernels (`hash/groestl_bitslice.py` — gather-free, so the remote
     TPU compile service handles it; the earlier table-gather formulation
     compiled a 156 MB executable in ~38 min). The tiny top levels finish on
     the host (the parallel tree builder of
-    `merkle_tree/binary_merkle_tree.rs:211`). Digests stay on device as
-    (N, 8) uint32 between levels; one transfer per layer at the end."""
+    `merkle_tree/binary_merkle_tree.rs:211`).
+
+    The wide layers stay DEVICE-RESIDENT: only the `_MIN_DEVICE_ROWS`-row
+    layer crosses to the host (8 KB) to finish the top. Query-opening
+    branches are later served by batched device gathers
+    (`DeviceMerkleTree.branches_many`) — at benchmark scale (2^20+ leaves)
+    fetching the full digest layers would move 10-100x the proof size over
+    the tunnel."""
     from ..hash.groestl_bitslice import leaf_hash_kernel, pairs_kernel
 
     n_leaves = int(codeword.shape[0]) >> log_coset
@@ -132,10 +138,84 @@ def commit_codeword_device(codeword, log_coset: int) -> "MerkleTree":
     outs = [leaf_hash_kernel(cw, log_coset, blob_len)]
     for _ in range(n_dev):
         outs.append(pairs_kernel(outs[-1]))
-    layers = [np.ascontiguousarray(np.asarray(jax.device_get(o)).astype("<u4"))
-              .view(np.uint8).reshape(-1, 32) for o in outs]
-    top = MerkleTree.build(layers[-1])
-    return MerkleTree(layers[:-1] + top.layers, GROESTL_SCHEME)
+    top = MerkleTree.build(_digests_to_np(outs[-1]))
+    return DeviceMerkleTree(outs[:-1], top)
+
+
+def _digests_to_np(dig) -> np.ndarray:
+    """(N, 8) uint32 device digests -> (N, 32) uint8 host rows."""
+    return (np.ascontiguousarray(np.asarray(jax.device_get(dig)).astype("<u4"))
+            .view(np.uint8).reshape(-1, 32))
+
+
+@functools.partial(jax.jit, static_argnums=())
+def _gather_rows_jit(layers: tuple, idxs: tuple):
+    """Concatenated row gathers: one dispatch per (tree-shape, query-count)."""
+    return jnp.concatenate(
+        [jnp.take(l, i, axis=0) for l, i in zip(layers, idxs)], axis=0)
+
+
+class DeviceMerkleTree:
+    """Merkle tree whose wide levels live on device ((N, 8) uint32 digests)
+    and whose top (<= `_MIN_DEVICE_ROWS` rows) is a host `MerkleTree`.
+
+    Exposes the same access surface the FRI prover needs (`root`, `depth`,
+    `layer_np`, `branches_many`) plus a `.layers` materialization for
+    tests/debug (fetches everything — do not use at scale)."""
+
+    def __init__(self, dev_layers: list, top: MerkleTree):
+        self.dev_layers = dev_layers      # leaf-up, device (N, 8) uint32
+        self.top = top
+        self.scheme = top.scheme
+        self._layer_cache: dict[int, np.ndarray] = {}
+
+    @property
+    def root(self) -> bytes:
+        return self.top.root
+
+    @property
+    def depth(self) -> int:
+        return len(self.dev_layers) + self.top.depth
+
+    def layer_np(self, k: int) -> np.ndarray:
+        """Layer k (leaf = 0) as (N, 32) uint8 host rows."""
+        n_dev = len(self.dev_layers)
+        if k >= n_dev:
+            return self.top.layers[k - n_dev]
+        if k not in self._layer_cache:
+            self._layer_cache[k] = _digests_to_np(self.dev_layers[k])
+        return self._layer_cache[k]
+
+    @property
+    def layers(self) -> list:
+        return ([self.layer_np(k) for k in range(len(self.dev_layers))]
+                + self.top.layers)
+
+    def branches_many(self, indices: list[int], to_layer: int) -> list[list[bytes]]:
+        """Sibling paths for many leaves in ONE device round-trip: per device
+        layer the sibling rows of every query are gathered on device, all
+        layers concatenate, and a single transfer brings them home."""
+        n_dev = min(len(self.dev_layers), to_layer)
+        out = [[] for _ in indices]
+        if n_dev:
+            idxs = tuple(
+                jnp.asarray(np.asarray([(i >> k) ^ 1 for i in indices],
+                                       dtype=np.int32))
+                for k in range(n_dev))
+            rows = _digests_to_np(_gather_rows_jit(tuple(self.dev_layers[:n_dev]),
+                                                   idxs))
+            for k in range(n_dev):
+                for q in range(len(indices)):
+                    out[q].append(rows[k * len(indices) + q].tobytes())
+        for k in range(n_dev, to_layer):
+            layer = self.layer_np(k)
+            for q, i in enumerate(indices):
+                out[q].append(layer[(i >> k) ^ 1].tobytes())
+        return out
+
+    def branch(self, index: int, to_layer: int = None) -> list[bytes]:
+        d = self.depth if to_layer is None else to_layer
+        return self.branches_many([index], d)[0]
 
 
 @dataclasses.dataclass
@@ -172,6 +252,12 @@ class MerkleTree:
         for k in range(d):
             out.append(self.layers[k][(index >> k) ^ 1].tobytes())
         return out
+
+    def layer_np(self, k: int) -> np.ndarray:
+        return self.layers[k]
+
+    def branches_many(self, indices: list[int], to_layer: int) -> list[list[bytes]]:
+        return [self.branch(i, to_layer) for i in indices]
 
 
 def verify_branch(root: bytes, index: int, leaf_digest: bytes, branch: list[bytes],

@@ -267,22 +267,28 @@ def leaf_blobs(cw_np: np.ndarray, log_coset: int) -> np.ndarray:
     return np.ascontiguousarray(b)
 
 
-def commit_codeword(cw_np: np.ndarray, log_coset: int,
-                    cw_dev=None) -> MerkleTree:
-    """Host commit (prover default + verifier terminate check). With a
-    single-device-TPU codeword, the tree can build on device
-    (`merkle.tree.commit_codeword_device`) — currently OPT-IN via
-    BINIUS_DEVICE_MERKLE=1: the gather-based Grøstl permute compiles
-    pathologically on the remote TPU compile service (a fused tree kernel
-    produced a 156 MB executable in ~38 min; the split leaf kernel OOM-kills
-    the compile helper). The planned fix is a Pallas T-table kernel (one-hot
-    int8 matmuls on the MXU, SURVEY hard part #6)."""
+def _device_merkle_ok(cw_dev, log_coset: int = 0) -> bool:
+    """Device tree build (bitsliced Grøstl kernels, device-resident layers)
+    is the DEFAULT on single-device TPU; BINIUS_DEVICE_MERKLE=0 disables.
+    The kernels are gather-free so the remote compile service handles them
+    (the earlier table-gather formulation compiled a 156 MB executable).
+    The bitsliced layout packs 32 leaves per lane word, so the leaf count
+    must be >= 32."""
     import os
-    if (cw_dev is not None and cw_np.shape[0] >= (1 << 10)
-            and os.environ.get("BINIUS_DEVICE_MERKLE", "") not in ("", "0")
+    return (cw_dev is not None
+            and int(cw_dev.shape[0]) >= (1 << 10)
+            and (int(cw_dev.shape[0]) >> log_coset) >= 32
+            and os.environ.get("BINIUS_DEVICE_MERKLE", "1") not in ("0",)
             and jax.default_backend() in ("tpu", "axon")
             and jax.device_count() == 1
-            and not mesh_mod.is_mesh_sharded(cw_dev)):
+            and not mesh_mod.is_mesh_sharded(cw_dev))
+
+
+def commit_codeword(cw_np: np.ndarray, log_coset: int,
+                    cw_dev=None) -> MerkleTree:
+    """Host commit (CPU prover default + verifier terminate check); routes to
+    the device tree when `cw_dev` qualifies (see `_device_merkle_ok`)."""
+    if cw_np is None or _device_merkle_ok(cw_dev, log_coset):
         from ..merkle.tree import commit_codeword_device
         return commit_codeword_device(cw_dev, log_coset)
     return MerkleTree.build(hash_leaves(leaf_blobs(cw_np, log_coset)))
@@ -296,17 +302,34 @@ def np_elem_to_int(cw_np: np.ndarray, i: int) -> int:
 # Prover
 # ---------------------------------------------------------------------------
 
-class FRIFolder:
-    """FRI fold-phase prover (mirrors `FRIFolder`, `fri/prove.rs:219`)."""
+@functools.partial(jax.jit, static_argnums=(1,))
+def _gather_cosets_jit(cw2d, log_coset: int, idxs):
+    """Batched coset-row gather: (N, limbs) codeword -> (nq, coset_bytes/4)."""
+    rows = cw2d.reshape(cw2d.shape[0] >> log_coset, -1)
+    return jnp.take(rows, idxs, axis=0)
 
-    def __init__(self, params: FRIParams, codeword, codeword_tree: MerkleTree):
+
+class FRIFolder:
+    """FRI fold-phase prover (mirrors `FRIFolder`, `fri/prove.rs:219`).
+
+    Codewords stay DEVICE-RESIDENT end to end when device Merkle commits are
+    active (round-3 verdict #3: the old version host-copied EVERY round
+    codeword — `codeword_to_numpy` per fold — which walls the prover at
+    benchmark scale). Host copies now happen only (a) for codewords that take
+    the host commit path anyway (CPU backend / small late rounds), (b) the
+    tiny terminate codeword, and (c) batched per-query coset gathers at open
+    time (`fri/prove.rs:483-508` reads cosets, not codewords)."""
+
+    def __init__(self, params: FRIParams, codeword, codeword_tree):
         self.params = params
         self.domain = params.ntt_domain()
-        self.codeword = codeword                      # device, interleaved
-        self.codeword_np = codeword_to_numpy(codeword)
+        # index 0 = initial interleaved codeword; 1.. = round codewords
+        self.codewords_dev = [codeword]
+        self._np_cache: dict[int, np.ndarray] = {}
+        if not hasattr(codeword_tree, "dev_layers"):
+            # host-committed: queries will slice the host copy
+            self._np_cache[0] = codeword_to_numpy(codeword)
         self.trees = [codeword_tree]
-        self.round_codewords_np: list[np.ndarray] = []
-        self.round_codewords_dev = []
         self.unprocessed: list[int] = []
         self.curr_round = 0
         arities = params.fold_arities
@@ -316,6 +339,11 @@ class FRIFolder:
     def n_rounds(self) -> int:
         return self.params.n_fold_rounds
 
+    def _cw_np(self, i: int) -> np.ndarray:
+        if i not in self._np_cache:
+            self._np_cache[i] = codeword_to_numpy(self.codewords_dev[i])
+        return self._np_cache[i]
+
     def execute_fold_round(self, challenge: int):
         """Returns a commitment root (bytes) on commitment rounds, else None."""
         self.unprocessed.append(challenge)
@@ -323,22 +351,24 @@ class FRIFolder:
         if self.next_commit_round != self.curr_round:
             return None
         p = self.params
-        n_committed = len(self.round_codewords_np)
+        n_committed = len(self.codewords_dev) - 1
         if n_committed:
-            prev = self.round_codewords_dev[-1]
-            log_len = int(np.log2(self.round_codewords_np[-1].shape[0]))
+            prev = self.codewords_dev[-1]
+            log_len = int(prev.shape[0]).bit_length() - 1
             folded = fold_interleaved(self.domain, prev, self.unprocessed, log_len, 0)
         else:
-            folded = fold_interleaved(self.domain, self.codeword, self.unprocessed,
-                                      p.log_code_len, p.log_batch_size)
+            folded = fold_interleaved(self.domain, self.codewords_dev[0],
+                                      self.unprocessed, p.log_code_len,
+                                      p.log_batch_size)
         self.unprocessed = []
-        folded_np = codeword_to_numpy(folded)
         coset_log = (p.fold_arities[n_committed + 1]
                      if n_committed + 1 < len(p.fold_arities) else p.n_final_challenges)
-        tree = commit_codeword(folded_np, coset_log, cw_dev=folded)
+        self.codewords_dev.append(folded)
+        if _device_merkle_ok(folded, coset_log):
+            tree = commit_codeword(None, coset_log, cw_dev=folded)
+        else:
+            tree = commit_codeword(self._cw_np(len(self.codewords_dev) - 1), coset_log)
         self.trees.append(tree)
-        self.round_codewords_np.append(folded_np)
-        self.round_codewords_dev.append(folded)
         if n_committed + 1 < len(p.fold_arities):
             self.next_commit_round = self.curr_round + p.fold_arities[n_committed + 1]
         else:
@@ -350,47 +380,61 @@ class FRIFolder:
         (`fri/prove.rs:483-508`)."""
         assert self.curr_round == self.n_rounds, "must execute all fold rounds"
         p = self.params
-        terminate_np = (self.round_codewords_np[-1] if self.round_codewords_np
-                        else self.codeword_np)
+        terminate_np = self._cw_np(len(self.codewords_dev) - 1)
         advice = transcript.decommitment()
         advice.write_bytes(terminate_np.astype("<u4").tobytes())
         # optimal layers per oracle
         depths = p.vcs_optimal_layers_depths()
         for tree, depth in zip(self.trees, depths):
-            layer = tree.layers[tree.depth - depth]
-            advice.write_bytes(layer.tobytes())
-        # queries
-        for _ in range(p.n_test_queries):
-            index = transcript.sample_bits(p.index_bits)
-            self._prove_query(index, transcript.decommitment())
+            advice.write_bytes(tree.layer_np(tree.depth - depth).tobytes())
+        # queries: decommitment writes never touch the challenger
+        # (transcript.py `decommitment()` observe=False), so sampling every
+        # index first is byte-identical to the reference's interleaved order
+        # and lets all opening gathers batch into one round-trip per oracle.
+        indices = [transcript.sample_bits(p.index_bits)
+                   for _ in range(p.n_test_queries)]
+        for blobs in self._query_openings(indices):
+            adv = transcript.decommitment()
+            for b in blobs:
+                adv.write_bytes(b)
 
-    def _prove_query(self, index: int, advice) -> None:
+    def _query_openings(self, indices: list[int]) -> list[list[bytes]]:
+        """Per-query advice byte sequences (coset values + branch siblings per
+        oracle, leaf-up), assembled from per-oracle BATCHED gathers."""
         p = self.params
+        nq = len(indices)
+        out: list[list[bytes]] = [[] for _ in range(nq)]
         if not p.fold_arities:
-            return
+            return out
         depths = p.vcs_optimal_layers_depths()
-        arity0 = p.fold_arities[0]
-        self._prove_coset_opening(self.codeword_np, self.trees[0], index, arity0,
-                                  depths[0], advice)
-        # NB: mirrors the reference convention (`fri/prove.rs:581-597`): the
-        # index shifts by the *current* loop arity, pairing round codeword i
-        # with fold_arities[i+1].
-        for i, (cw_np, tree) in enumerate(zip(self.round_codewords_np, self.trees[1:])):
-            if i + 1 >= len(p.fold_arities):
-                break
-            arity = p.fold_arities[i + 1]
-            index >>= arity
-            self._prove_coset_opening(cw_np, tree, index, arity, depths[i + 1], advice)
+        idx = list(indices)
+        for oracle in range(len(p.fold_arities)):
+            arity = p.fold_arities[oracle]
+            if oracle > 0:
+                # reference convention (`fri/prove.rs:581-597`): the index
+                # shifts by the CURRENT oracle's arity before its opening
+                idx = [i >> arity for i in idx]
+            vals = self._coset_values(oracle, idx, arity)
+            tree = self.trees[oracle]
+            branches = tree.branches_many(idx, tree.depth - depths[oracle])
+            for q in range(nq):
+                out[q].append(vals[q])
+                out[q].extend(branches[q])
+        return out
 
-    @staticmethod
-    def _prove_coset_opening(cw_np, tree: MerkleTree, coset_index: int, log_coset: int,
-                             opt_depth: int, advice) -> None:
-        vals = cw_np[coset_index << log_coset:(coset_index + 1) << log_coset]
-        advice.write_bytes(vals.astype("<u4").tobytes())
-        n_leaves_log = tree.depth
-        branch = tree.branch(coset_index, n_leaves_log - opt_depth)
-        for sib in branch:
-            advice.write_bytes(sib)
+    def _coset_values(self, oracle: int, coset_indices: list[int],
+                      log_coset: int) -> list[bytes]:
+        """Canonical bytes of each opened coset; one device gather when the
+        codeword has no host copy."""
+        if oracle in self._np_cache:
+            cw_np = self._np_cache[oracle]
+            return [cw_np[ci << log_coset:(ci + 1) << log_coset]
+                    .astype("<u4").tobytes() for ci in coset_indices]
+        cw = self.codewords_dev[oracle]
+        rows = np.asarray(jax.device_get(_gather_cosets_jit(
+            cw.reshape(cw.shape[0], -1), log_coset,
+            jnp.asarray(np.asarray(coset_indices, dtype=np.int32)))))
+        return [r.astype("<u4").tobytes() for r in rows]
 
 
 def fri_commit(params: FRIParams, message):
@@ -398,7 +442,10 @@ def fri_commit(params: FRIParams, message):
     cw = rs_encode(params, message)
     coset_log = (params.fold_arities[0] if params.fold_arities
                  else params.log_dim + params.log_batch_size)
-    tree = commit_codeword(codeword_to_numpy(cw), coset_log, cw_dev=cw)
+    if _device_merkle_ok(cw, coset_log):
+        tree = commit_codeword(None, coset_log, cw_dev=cw)
+    else:
+        tree = commit_codeword(codeword_to_numpy(cw), coset_log)
     return cw, tree
 
 
