@@ -326,15 +326,20 @@ class M3ConstraintSystem:
                         rec(nm, col.log_values_per_row, 7,
                             ("linear_combination", offset, tuple(lc_terms)))
                 elif cd.kind == "constant":
+                    # reference lowering (`builder/constraint_system.rs:541-549`):
+                    # a ONE-ROW transparent `{name}_single` wrapped in a
+                    # Repeating virtual oracle `{name}` — two oracles, the
+                    # repeating one registered for the column
                     from ...protocols.transparent import Constant
-                    tp = Constant(n_vars, cd.constant, col.level)
-                    oracle_map[key] = oracles.add_transparent(tp, nm)
-                    # sizeless: a row-level constant (the reference lowers
-                    # constants to a one-row transparent)
-                    rec(nm, col.log_values_per_row, col.level,
+                    tp = Constant(col.log_values_per_row, cd.constant, col.level)
+                    tid = oracles.add_transparent(tp, nm + "_single")
+                    rec(nm + "_single", col.log_values_per_row, col.level,
                         ("transparent", "Constant",
                          (("usize", col.log_values_per_row),
                           ("f128", cd.constant), ("usize", col.level))))
+                    oracle_map[key] = oracles.add_repeating(tid, log_rows, nm)
+                    rec(nm, col.log_values_per_row, col.level,
+                        ("repeating", tid))
                 elif cd.kind == "fixed":
                     from ...protocols.transparent import MLEFromValues
                     tp = MLEFromValues(cd.inner, col.level)
@@ -417,9 +422,13 @@ class M3ConstraintSystem:
                            if selector is not None else ())
                 ids = tuple(oracle_map[(t.table_id, c.index)] for c in cols)
                 vpr = cols[0].log_values_per_row
+                # reference gating (`verify.rs:408-410`): every flush of an
+                # Arbitrary-spec table gets a step-down selector, even when
+                # the runtime size happens to be a power of two (the mask is
+                # then all-ones) — matching ids/bytes requires matching this
                 pending_flushes.append((t_idx, channel_id, direction, ids,
                                         mult, sel_ids, vpr,
-                                        size < (1 << log_rows)))
+                                        t.size_spec not in ("fixed", "po2")))
                 sym_flushes.append(canon.SymbolicFlush(
                     t_idx, vpr, tuple(("oracle", i) for i in ids), channel_id,
                     direction, sel_ids, mult))

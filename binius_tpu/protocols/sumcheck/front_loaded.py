@@ -132,14 +132,26 @@ class FrontLoadedBatchVerifier:
         self.challenges: list = []
         self.multilinear_evals: list = []
         self.finish_rounds: list = []
+        self._reader = None
+
+    def _round_reader(self, transcript):
+        """EXACTLY one message reader per round (+ one post-loop), created
+        unconditionally — the reference obtains `transcript.message()` before
+        `try_finish_claim` every round (`front_loaded.rs:287-301`), and
+        obtaining it transitions the challenger even when nothing is read.
+        The prover's `send_round_proof`/`finish` writers mirror this."""
+        if self._reader is None:
+            self._reader = transcript.message()
+        return self._reader
 
     def try_finish_claims(self, transcript) -> None:
+        reader = self._round_reader(transcript)
         while self.claims and self.claims[0].n_vars == self.round:
             claim = self.claims.pop(0)
             coeff = self.coeffs.pop(0)
             eq_pt = self.eq_ind_points.pop(0)
             n_read = claim.n_multilinears - (1 if eq_pt is not None else 0)
-            evals = transcript.message().read_scalars(LEVEL, n_read)
+            evals = reader.read_scalars(LEVEL, n_read)
             if eq_pt is not None:
                 # high-to-low folding: var j of the claim was bound at round
                 # (n_vars - 1 - j), i.e. the point is the reversed challenge
@@ -155,12 +167,13 @@ class FrontLoadedBatchVerifier:
     def receive_round_proof(self, transcript) -> None:
         deg = max((max(cs.composition.degree() for cs in c.composite_sums)
                    if c.composite_sums else 0 for c in self.claims), default=0)
-        proof_coeffs = transcript.message().read_scalars(LEVEL, deg)
+        proof_coeffs = self._round_reader(transcript).read_scalars(LEVEL, deg)
         self._full = common.recover_full(proof_coeffs, self.sum)
 
     def finish_round(self, challenge: int) -> None:
         self.sum = common.eval_coeffs(self._full, challenge)
         self.round += 1
+        self._reader = None
 
     def finish(self) -> None:
         if self.claims:

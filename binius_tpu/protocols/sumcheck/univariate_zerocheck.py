@@ -21,13 +21,15 @@ TPU-native counterpart of the reference's three-stage reduction
      that converts univariatized evals back to multilinear eval claims
      (`zerocheck.rs` `univariatizing_reduction_claim`).
 
-TPU-first departures from the reference (self-consistent prover/verifier):
-  * every composition is extended to the GLOBAL max domain directly (more
-    batched NTT cosets instead of staggered evals + OddInterpolate);
-  * round-eval weighting/mixing, Lagrange coefficients (barycentric), claimed
-    sums, folds, and projections are all batched device kernels;
-  * `skip_rounds` is capped at the smallest claim's n_vars, which removes the
-    reference's high-padding path (`prove/zerocheck.rs:77-115`).
+Round-message encoding matches the reference (docs/TRANSCRIPT.md #2/#3,
+both resolved round 4): per-claim round evals are computed on STAGGERED
+domains (`deg_i` cosets each) and OddInterpolate+NTT-extended to the global
+max domain before mixing (`prove/univariate.rs:566-640`); `skip_rounds`
+follows `max_n_vars_and_skip_rounds` (`verify.rs:271-295`) with high-padding
+of smaller claims (`prove/zerocheck.rs:77-115`). TPU-first internals:
+round-eval weighting/mixing, Lagrange coefficients (barycentric), claimed
+sums, folds, and projections are all batched device kernels, and
+same-structure claims prove GROUPED (one dispatch per round).
 """
 
 from __future__ import annotations
@@ -68,17 +70,40 @@ def _max_degree(zc: ZerocheckClaim) -> int:
 
 
 def compute_skip_rounds(zc_claims: list[ZerocheckClaim]) -> int:
-    """Deterministic skip-round count (reference `max_n_vars_and_skip_rounds`,
-    `constraint_system/verify.rs:271`), additionally capped at the smallest
-    claim's n_vars (no high-padding path)."""
+    """Deterministic skip-round count — the reference's
+    `max_n_vars_and_skip_rounds` (`constraint_system/verify.rs:271-295`):
+    min_i(domain_bits - log2_ceil(max_deg_i)), capped at the LARGEST claim's
+    n_vars. Claims with fewer variables are high-padded by replicating their
+    evals on the high variables (`prove/zerocheck.rs:77-115`)."""
     if not zc_claims:
         return 0
     domain_bits = 1 << DOMAIN_LEVEL
-    max_skip = min(
-        domain_bits - max(1, (_max_degree(c) - 1).bit_length() if _max_degree(c) else 1)
-        for c in zc_claims
-    )
-    return max(0, min(max_skip, min(c.n_vars for c in zc_claims)))
+    max_skip = min(domain_bits - max(0, (_max_degree(c) - 1).bit_length())
+                   for c in zc_claims)
+    return max(0, min(max_skip, max(c.n_vars for c in zc_claims)))
+
+
+def _high_pad(zc_claims: list[ZerocheckClaim], mls_per_claim: list, k: int):
+    """High-pad claims with n_vars < k: replicate evals 2^(k - n_vars) times
+    on the high variables (reference `high_pad_small_multilinear`,
+    `prove/zerocheck.rs:77-115`). The padded MLE ignores the padding
+    variables, so the reduced eval claim for such a claim restricts to the
+    first n_vars skipped challenges."""
+    out_c, out_m = [], []
+    for zc, mls in zip(zc_claims, mls_per_claim):
+        if zc.n_vars >= k:
+            out_c.append(zc)
+            out_m.append(mls)
+            continue
+        rep = 1 << (k - zc.n_vars)
+        padded = []
+        for lvl, d in mls:
+            if lvl == tower.P1 and (1 << zc.n_vars) < 32:
+                lvl, d = tower.resolve_p1(lvl, d)
+            padded.append((lvl, jnp.tile(d, (rep,) + (1,) * (d.ndim - 1))))
+        out_c.append(dataclasses.replace(zc, n_vars=k))
+        out_m.append(padded)
+    return out_c, out_m
 
 
 @dataclasses.dataclass
@@ -279,30 +304,48 @@ def _reduction_composites(n_total: int, sums: list[int]):
 
 def batch_prove(zc_claims: list[ZerocheckClaim], mls_per_claim: list,
                 transcript, skip_rounds: int) -> BatchZerocheckOutput:
-    """Claims must be sorted ASCENDING by n_vars; skip_rounds <= min n_vars.
-    Writes the three reduction stages to `transcript`."""
+    """Claims must be sorted ASCENDING by n_vars; skip_rounds <= max n_vars
+    (smaller claims high-pad). Writes the three reduction stages to
+    `transcript`."""
     assert zc_claims
     assert all(zc_claims[i].n_vars <= zc_claims[i + 1].n_vars
                for i in range(len(zc_claims) - 1))
     k = skip_rounds
-    assert 0 < k <= zc_claims[0].n_vars
+    assert 0 < k <= zc_claims[-1].n_vars
+    orig_nvars = [zc.n_vars for zc in zc_claims]
+    zc_claims, mls_per_claim = _high_pad(zc_claims, mls_per_claim, k)
     max_n = zc_claims[-1].n_vars
     r = transcript.sample_scalars(LEVEL, max_n - k)  # unskipped eq challenges
     eq_pts = [r[len(r) - (zc.n_vars - k):] if zc.n_vars > k else []
               for zc in zc_claims]
 
-    # degree-1-only systems still need >= 1 extension coset (the round
-    # message may not be empty; both sides use the same floor)
-    max_d = max(2, *(_max_degree(zc) for zc in zc_claims))
-    max_domain_size = max_d << k
+    max_d = max(_max_degree(zc) for zc in zc_claims)
+    max_domain_size = max(max_d, 1) << k
     points = _domain_points(max_domain_size)
     dom_log = max(1, (max_domain_size - 1).bit_length())
 
-    # --- stage 1: univariate round ---
+    # --- stage 1: univariate round (per-claim staggered domains,
+    # `prove/batch_zerocheck.rs:183-210` + `prove/univariate.rs:566-640`) ---
     t0 = time.perf_counter()
     batch_coeffs = [transcript.sample_scalar(LEVEL) for _ in zc_claims]
-    r_claims = [_claim_round_evals(zc, mls, eq_pts[i], k, max_d, dom_log)
-                for i, (zc, mls) in enumerate(zip(zc_claims, mls_per_claim))]
+    r_claims = []
+    for i, (zc, mls) in enumerate(zip(zc_claims, mls_per_claim)):
+        d_i = _max_degree(zc)
+        if d_i < 2:
+            # the round polynomial vanishes identically (degree < 2^k with
+            # 2^k roots); its extension cosets are all zero
+            r_claims.append(tower.zeros(LEVEL, (len(zc.compositions),
+                                                max(max_d - 1, 0) << k)))
+            continue
+        ev = _claim_round_evals(zc, mls, eq_pts[i], k, d_i, dom_log)
+        if d_i < max_d:
+            # staggered domain smaller than the global one: re-interpolate
+            # via OddInterpolate and NTT-extend (the reference's
+            # `extrapolate_round_evals`; values are identical to direct
+            # evaluation — same polynomial — but the device NTT only ran
+            # d_i - 1 cosets)
+            ev = _extrapolate_round_evals(ev, d_i, max_d, k, dom_log)
+        r_claims.append(ev)
     mesh_on = any(mesh_mod.is_mesh_sharded(r) for r in r_claims)
     if mesh_on:
         # round evals are tiny; pull them off the mesh so the stage-1 mixing
@@ -311,15 +354,23 @@ def batch_prove(zc_claims: list[ZerocheckClaim], mls_per_claim: list,
         r_claims = [jnp.asarray(_np.asarray(jax.device_get(r))) for r in r_claims]
     r_all = jnp.concatenate(r_claims, axis=0)  # (total_comps, P, 4)
     weights = _phi_power_weights(batch_coeffs, [len(zc.compositions) for zc in zc_claims])
-    w_dev = tower.from_ints(LEVEL, weights)
-    mixed = tower.xor_reduce(tower.mul(LEVEL, r_all, w_dev[:, None, :]), axis=0)
-    transcript.message().write_scalars(LEVEL, tower.to_ints(LEVEL, mixed))
+    msg = transcript.message()  # the round message is ALWAYS sent, possibly
+    # empty — degree <= 1 everywhere makes zeros_prefix cover the whole
+    # domain (`verify_zerocheck.rs:83`); obtaining the writer still
+    # transitions the challenger (reference `observer()` semantics)
+    if max_d >= 2:
+        w_dev = tower.from_ints(LEVEL, weights)
+        mixed = tower.xor_reduce(tower.mul(LEVEL, r_all, w_dev[:, None, :]), axis=0)
+        msg.write_scalars(LEVEL, tower.to_ints(LEVEL, mixed))
     u_challenge = transcript.sample_scalar(LEVEL)
 
     lagr = lagrange_evals_device(points, u_challenge)          # (D, 4)
-    tail = lagr[1 << k:]
-    sums_dev = tower.inner_product(LEVEL, r_all, tail[None, :, :], axis=1)
-    claimed_sums = tower.to_ints(LEVEL, sums_dev)              # per composition
+    if max_d >= 2:
+        tail = lagr[1 << k:]
+        sums_dev = tower.inner_product(LEVEL, r_all, tail[None, :, :], axis=1)
+        claimed_sums = tower.to_ints(LEVEL, sums_dev)          # per composition
+    else:
+        claimed_sums = [0] * sum(len(zc.compositions) for zc in zc_claims)
     t0 = _trace(f"stage1 univariate ({len(zc_claims)} claims, "
                 f"{len(claimed_sums)} comps, skip={k})", t0)
 
@@ -420,15 +471,45 @@ def batch_prove(zc_claims: list[ZerocheckClaim], mls_per_claim: list,
     concat_evals = fl3.multilinear_evals[0]
     assert len(concat_evals) == n_total + 1
 
-    # regroup per claim; eval points are (skipped ++ per-claim unskipped)
+    # regroup per claim; eval points are (skipped ++ per-claim unskipped).
+    # A high-padded claim's MLE ignores the padding variables, so its eval
+    # point is the first orig-n_vars skipped challenges.
     out_evals, out_points = [], []
     pos = 0
-    for zc in zc_claims:
+    for zc, n0 in zip(zc_claims, orig_nvars):
         out_evals.append(concat_evals[pos:pos + zc.n_multilinears])
         pos += zc.n_multilinears
         pt = skipped + list(reversed(s2_challenges[:zc.n_vars - k]))
-        out_points.append(pt)
+        out_points.append(pt[:n0] if n0 < k else pt)
     return BatchZerocheckOutput(skipped, s2_challenges, out_evals, out_points)
+
+
+def _extrapolate_round_evals(ev, d_i: int, max_d: int, k: int, dom_log: int):
+    """Reference `extrapolate_round_evals` (`prove/univariate.rs:566-640`):
+    round evals computed on a claim's own staggered domain (d_i * 2^k points,
+    the zero prefix re-added) are interpolated into the novel basis with
+    `OddInterpolate` over the F-upcast domain, zero-extended, forward-NTT'd to
+    the full domain, and trimmed to the global max domain minus the zero
+    prefix. Host-scalar: round evals are tiny (< 2^8 per composition)."""
+    import numpy as _np
+
+    from ...ntt.odd_interpolate import OddInterpolate
+
+    rows = [_u32rows_to_ints(r) for r in _np.asarray(jax.device_get(ev))]
+    n = d_i << k
+    ell = (n & -n).bit_length() - 1
+    # the subspace upcast of `univariate.rs:585-597`: same basis ints, B128 mul
+    dom = NTTDomain.create(LEVEL, dom_log)
+    oi = OddInterpolate.create(dom, n >> ell, ell, dom_log - ell)
+    ntt = AdditiveNTT(dom)
+    out: list[int] = []
+    for row in rows:
+        vals = [0] * (1 << k) + row
+        coeffs = oi.inverse_transform(vals) + [0] * ((1 << dom_log) - n)
+        evals = ntt.forward_scalar(coeffs, LEVEL, dom_log)
+        out.extend(evals[1 << k:max_d << k])
+    per = (max_d - 1) << k
+    return tower.from_ints(LEVEL, out).reshape(len(rows), per, 4)
 
 
 def _structure_key(zc: ZerocheckClaim):
@@ -539,17 +620,20 @@ def batch_verify(zc_claims: list[ZerocheckClaim], transcript,
     assert all(zc_claims[i].n_vars <= zc_claims[i + 1].n_vars
                for i in range(len(zc_claims) - 1))
     k = skip_rounds
+    orig_nvars = [zc.n_vars for zc in zc_claims]
+    zc_claims = [dataclasses.replace(zc, n_vars=k) if zc.n_vars < k else zc
+                 for zc in zc_claims]
     max_n = zc_claims[-1].n_vars
     r = transcript.sample_scalars(LEVEL, max_n - k)
     eq_pts = [r[len(r) - (zc.n_vars - k):] if zc.n_vars > k else []
               for zc in zc_claims]
 
-    max_d = max(2, *(_max_degree(zc) for zc in zc_claims))
-    max_domain_size = max_d << k
+    max_d = max(_max_degree(zc) for zc in zc_claims)
+    max_domain_size = max(max_d, 1) << k
     points = _domain_points(max_domain_size)
 
     batch_coeffs = [transcript.sample_scalar(LEVEL) for _ in zc_claims]
-    n_evals = max_domain_size - (1 << k)
+    n_evals = max(max_domain_size - (1 << k), 0)
     round_evals = transcript.message().read_scalars(LEVEL, n_evals)
     u_challenge = transcript.sample_scalar(LEVEL)
 
@@ -597,11 +681,11 @@ def batch_verify(zc_claims: list[ZerocheckClaim], transcript,
 
     out_evals, out_points = [], []
     pos = 0
-    for zc in zc_claims:
+    for zc, n0 in zip(zc_claims, orig_nvars):
         out_evals.append(concat_evals[pos:pos + zc.n_multilinears])
         pos += zc.n_multilinears
         pt = skipped + list(reversed(s2_challenges[:zc.n_vars - k]))
-        out_points.append(pt)
+        out_points.append(pt[:n0] if n0 < k else pt)
     return BatchZerocheckOutput(skipped, s2_challenges, out_evals, out_points)
 
 

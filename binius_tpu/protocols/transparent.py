@@ -61,6 +61,8 @@ class StepDown:
         # MLE of the indicator [i < index]: walk bits high->low.
         # f = sum over prefixes where a 0-bit of `index` is preceded by equal
         # high bits: standard product construction.
+        if self.index >= (1 << self.n_vars):
+            return 1  # full mask (arbitrary-spec table at a po2 size)
         acc = 0      # accumulated eval
         prefix = 1   # prod over processed high bits of eq(q_k, index_k)
         for k in reversed(range(self.n_vars)):

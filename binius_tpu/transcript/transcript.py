@@ -19,6 +19,12 @@ class _Writer:
         self._t = transcript
         self._observe = observe
         self._write = write
+        if observe:
+            # the reference transitions the challenger to observer mode when
+            # the writer is OBTAINED (`challenger.observer()`,
+            # `fiat_shamir/hasher_challenger.rs:65-76`) — even if zero bytes
+            # are then written (e.g. an empty zerocheck round message)
+            transcript._challenger.observe(b"")
 
     def write_bytes(self, data: bytes) -> None:
         if self._write:
@@ -40,6 +46,9 @@ class _Reader:
     def __init__(self, transcript, observe: bool):
         self._t = transcript
         self._observe = observe
+        if observe:
+            # mirror the writer: observer-mode transition at creation
+            transcript._challenger.observe(b"")
 
     def read_bytes(self, n: int) -> bytes:
         t = self._t

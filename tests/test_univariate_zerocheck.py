@@ -68,7 +68,9 @@ def test_univariate_zerocheck_roundtrip():
     c2, m2 = _mk_claim_and_mls(6, rng)
     claims = [c1, c2]
     skip = uzc.compute_skip_rounds(claims)
-    assert skip == 4  # min n_vars caps it (domain would allow 7)
+    # reference cap (`verify.rs:271`): min(8 - log2_ceil(2), max n_vars) = 6;
+    # the 4-var claim high-pads by 2 variables
+    assert skip == 6
     pt = ProverTranscript()
     out = uzc.batch_prove(claims, [m1, m2], pt, skip)
     proof = pt.finalize()
@@ -153,3 +155,56 @@ def test_grouped_stage2_transcript_byte_equality(monkeypatch):
     vt = VerifierTranscript(proofs["1"])
     uzc.batch_verify(claims, vt, skip)
     vt.finalize()
+
+
+def test_staggered_domain_extrapolation_byte_equality():
+    """Mixed-degree systems: the lower-degree claim's round evals are computed
+    on its OWN staggered domain (d_i * 2^skip) and OddInterpolate+NTT-extended
+    to the global domain (`prove/univariate.rs:566-640`). The transcript bytes
+    must equal direct evaluation on the global domain — same polynomial."""
+    rng = random.Random(9)
+    V = ArithExpr.var
+    # degree-2 claim: out + a*b
+    c1, m1 = _mk_claim_and_mls(5, rng)
+    # degree-3 claim: out + a*b*c
+    comp3 = CompositionPoly(V(0) + V(1) * V(2) * V(3), 4)
+    a = [rng.randrange(2) for _ in range(1 << 5)]
+    b = [rng.randrange(2) for _ in range(1 << 5)]
+    c = [rng.randrange(2) for _ in range(1 << 5)]
+    out = [x & y & z for x, y, z in zip(a, b, c)]
+    c2 = ZerocheckClaim(5, 4, (comp3,))
+    m2 = [(0, tower.from_ints(0, v)) for v in (out, a, b, c)]
+    claims, mls = [c1, c2], [m1, m2]
+    skip = uzc.compute_skip_rounds(claims)
+    assert skip == 5  # deg 3 claim: 8 - 2 = 6, capped at n_vars 5
+
+    pt = ProverTranscript()
+    pout = uzc.batch_prove(claims, mls, pt, skip)
+    proof = pt.finalize()
+
+    # direct-evaluation oracle: force every claim onto the global domain by
+    # evaluating claim 1 with max_d cosets (bypassing the staggered path)
+    orig_cre, orig_ext = uzc._claim_round_evals, uzc._extrapolate_round_evals
+    calls = []
+
+    def spy(zc, ms, eq_pt, k, n_cosets, dom_log):
+        calls.append(n_cosets)
+        return orig_cre(zc, ms, eq_pt, k, 3, dom_log)  # always global (max_d=3)
+
+    uzc._claim_round_evals = spy
+    uzc._extrapolate_round_evals = lambda ev, *a: ev  # already global
+    try:
+        pt2 = ProverTranscript()
+        uzc.batch_prove(claims, mls, pt2, skip)
+        proof2 = pt2.finalize()
+    finally:
+        uzc._claim_round_evals = orig_cre
+        uzc._extrapolate_round_evals = orig_ext
+    assert proof == proof2
+    # the normal path really did request the staggered (per-claim) arities
+    assert calls == [2, 3]
+
+    vt = VerifierTranscript(proof)
+    vout = uzc.batch_verify(claims, vt, skip)
+    vt.finalize()
+    assert vout.multilinear_evals == pout.multilinear_evals
