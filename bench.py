@@ -24,9 +24,10 @@ import os
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
+from binius_tpu.utils.jax_cache import cache_dir as _binius_cache_dir
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/binius_tpu_jax_cache_tpu")
+jax.config.update("jax_compilation_cache_dir", _binius_cache_dir("tpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 

@@ -78,7 +78,16 @@ class ConstraintSystem:
         """Grøstl-256 of the reference-format (CanonicalTower) serialization
         of the sizeless symbolic system (`constraint_system/mod.rs:51-57`)
         when the system came from the M3 builder; hand-built (test) systems
-        fall back to a structural hash of the sized form."""
+        fall back to a structural hash of the sized form. Cached: the system
+        is immutable after compile and both prove and verify observe it."""
+        got = self.__dict__.get("_digest_cache")
+        if got is not None:
+            return got
+        out = self._digest_uncached()
+        self.__dict__["_digest_cache"] = out
+        return out
+
+    def _digest_uncached(self) -> bytes:
         if self.symbolic is not None:
             from . import canonical
             return canonical.digest(self.symbolic)

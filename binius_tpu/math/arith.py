@@ -63,17 +63,26 @@ class ArithExpr:
 
     # -- analysis ----------------------------------------------------------
     def degree(self) -> int:
+        # memoized per node (verifier hot path: the front-loaded round loop
+        # re-queries composite degrees every round); frozen dataclass, so
+        # the cache slot is installed via object.__setattr__
+        d = self.__dict__.get("_degree")
+        if d is not None:
+            return d
         if self.op == "const":
-            return 0
-        if self.op == "var":
-            return 1
-        if self.op == "add":
-            return max(a.degree() for a in self.args)
-        if self.op == "mul":
-            return sum(a.degree() for a in self.args)
-        if self.op == "pow":
-            return self.args[0].degree() * self.value
-        raise AssertionError(self.op)
+            d = 0
+        elif self.op == "var":
+            d = 1
+        elif self.op == "add":
+            d = max(a.degree() for a in self.args)
+        elif self.op == "mul":
+            d = sum(a.degree() for a in self.args)
+        elif self.op == "pow":
+            d = self.args[0].degree() * self.value
+        else:
+            raise AssertionError(self.op)
+        object.__setattr__(self, "_degree", d)
+        return d
 
     def n_vars(self) -> int:
         if self.op == "var":

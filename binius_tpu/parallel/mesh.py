@@ -86,6 +86,18 @@ def put_replicated(mesh: Mesh, data):
     return jax.device_put(data, NamedSharding(mesh, P(*([None] * data.ndim))))
 
 
+def put_axis_sharded(mesh: Mesh, data, axis: int,
+                     min_elems: int = MIN_SHARD_ELEMS):
+    """Shard one axis of an arbitrary-rank array (e.g. the element axis of a
+    grouped-claim stack); replicates when too small or not divisible."""
+    n = data.shape[axis]
+    n_dev = mesh.devices.size
+    spec = [None] * data.ndim
+    if n >= max(min_elems, n_dev) and n % n_dev == 0:
+        spec[axis] = AXIS
+    return jax.device_put(data, NamedSharding(mesh, P(*spec)))
+
+
 def pull_local(x):
     """Fetch a (small) mesh-committed array back to an uncommitted local
     array; no-op for already-local arrays. Used where tiny per-claim tensors

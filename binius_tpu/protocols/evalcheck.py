@@ -339,17 +339,36 @@ class _Walker:
             challenges = ver.challenges
 
         n_rounds = claims[0].n_vars if claims else 0
+        # verifier: all shift-indicator checks of the wave in ONE vectorized
+        # carry DP (native batch muls) instead of per-claim Python DPs
+        shift_wants: dict = {}
+        if not self.is_prover:
+            sidx, svar, sb, soff, sx, sy = [], [], [], [], [], []
+            for w_i, ((kind, e, nv), _evals) in enumerate(zip(specs, ml_evals)):
+                if kind != "shift":
+                    continue
+                o = e.oracle
+                b = o.shift_block_bits
+                pt = sc_verify.claim_point(n_rounds, nv, challenges, order_high=False)
+                sidx.append(w_i)
+                svar.append(o.shift_variant)
+                sb.append(b)
+                soff.append(o.shift_offset)
+                sx.append(list(e.claim.point[:b]))
+                sy.append(list(pt))
+            if sidx:
+                got = shift_ind.evaluate_scalar_batch(svar, sb, soff, sx, sy)
+                shift_wants = dict(zip(sidx, got))
         new_claims = []
-        for (kind, e, nv), evals, claim in zip(specs, ml_evals, claims):
+        for w_i, ((kind, e, nv), evals, claim) in enumerate(zip(specs, ml_evals,
+                                                                claims)):
             o = e.oracle
             pt = sc_verify.claim_point(n_rounds, nv, challenges, order_high=False)
             if kind == "shift":
                 b = o.shift_block_bits
                 proj_eval, ind_eval = evals
                 if not self.is_prover:
-                    want = shift_ind.evaluate_scalar(o.shift_variant, b, o.shift_offset,
-                                                     list(e.claim.point[:b]), pt)
-                    if ind_eval != want:
+                    if ind_eval != shift_wants[w_i]:
                         raise ValueError("shift indicator evaluation mismatch")
                 inner_point = tuple(pt) + tuple(e.claim.point[b:])
                 new_claims.append(EvalcheckClaim(o.inner[0], inner_point, proj_eval))

@@ -482,10 +482,93 @@ class FRIVerifier:
         commitments = [self.codeword_commitment, *self.round_commitments]
         for com, depth, layer in zip(commitments, depths, layers):
             self._verify_layer(com, layer)
-        for _ in range(p.n_test_queries):
-            index = transcript.sample_bits(p.index_bits)
-            self._verify_query(index, terminate_np, layers, transcript.decommitment())
+        # Sample every query index first (decommitment reads never touch the
+        # challenger), then parse all query advice and batch the Merkle
+        # checks: leaf hashing and each branch level run over ALL queries at
+        # once through the native Grøstl batch kernels.
+        indices = [transcript.sample_bits(p.index_bits)
+                   for _ in range(p.n_test_queries)]
+        queries = [self._read_query(transcript.decommitment())
+                   for _ in indices]
+        if p.fold_arities:
+            self._check_openings_batch(indices, queries, layers, depths)
+            for index, q in zip(indices, queries):
+                self._check_folds(index, q, terminate_np)
         return final_value
+
+    def _read_query(self, advice) -> list:
+        """Parse one query's advice: per oracle, (values (2^arity, 4) uint32,
+        branch sibling list) in the prover's write order."""
+        p = self.params
+        out = []
+        if not p.fold_arities:
+            return out
+        depths = p.vcs_optimal_layers_depths()
+        log_n_cosets = p.index_bits
+        for i, arity in enumerate(p.fold_arities):
+            if i > 0:
+                log_n_cosets -= arity
+            raw = advice.read_bytes((1 << arity) * 16)
+            vals_np = np.frombuffer(raw, dtype="<u4").reshape(1 << arity, 4)
+            n_branch = log_n_cosets - depths[i]
+            branch = [advice.read_bytes(32) for _ in range(n_branch)]
+            out.append((vals_np, branch))
+        return out
+
+    def _check_openings_batch(self, indices: list[int], queries: list,
+                              layers: list, depths: list) -> None:
+        """All queries' Merkle opening checks, one oracle at a time: leaf
+        digests in one batched hash, then one batched 2-to-1 compression per
+        branch level, then one vectorized compare against the cached layer."""
+        from ..hash.groestl import compress_pairs
+        p = self.params
+        nq = len(indices)
+        idx = list(indices)
+        for i, arity in enumerate(p.fold_arities):
+            if i > 0:
+                idx = [v >> arity for v in idx]
+            blobs = np.stack([q[i][0].view(np.uint8).reshape(-1)
+                              for q in queries])
+            cur = hash_leaves(np.ascontiguousarray(blobs))  # (nq, 32)
+            n_branch = len(queries[0][i][1])
+            for k in range(n_branch):
+                sibs = np.stack([np.frombuffer(q[i][1][k], dtype=np.uint8)
+                                 for q in queries])
+                bit = (np.asarray(idx) >> k) & 1
+                left = np.where(bit[:, None] == 0, cur, sibs)
+                right = np.where(bit[:, None] == 0, sibs, cur)
+                cur = np.asarray(compress_pairs(
+                    np.ascontiguousarray(np.concatenate([left, right], axis=1))))
+            rows = layers[i][np.asarray(idx) >> n_branch]
+            if not (cur == rows).all():
+                bad = int(np.nonzero(~(cur == rows).all(axis=1))[0][0])
+                raise ValueError(
+                    f"Merkle coset opening failed (oracle {i}, query {bad})")
+
+    def _check_folds(self, index: int, query: list, terminate_np) -> None:
+        """Per-query fold-consistency walk (values already parsed)."""
+        p = self.params
+        arity0 = p.fold_arities[0]
+        values = [np_elem_to_int(query[0][0], i)
+                  for i in range(query[0][0].shape[0])]
+        log_coset0 = arity0 - p.log_batch_size
+        next_value = fold_interleaved_chunk_scalar(
+            self.domain, p.log_code_len, p.log_batch_size, index, values,
+            self.interleave_tensor, self.fold_challenges[:log_coset0])
+        fold_round = log_coset0
+        for i, arity in enumerate(p.fold_arities[1:]):
+            coset_index = index >> arity
+            vals_np = query[i + 1][0]
+            values = [np_elem_to_int(vals_np, j) for j in range(vals_np.shape[0])]
+            if next_value != values[index % (1 << arity)]:
+                raise ValueError(f"incorrect fold at query round {i}")
+            next_value = fold_chunk_scalar(
+                self.domain, p.log_code_len - fold_round, coset_index, values,
+                self.fold_challenges[fold_round:fold_round + arity])
+            index = coset_index
+            fold_round += arity
+        if next_value != np_elem_to_int(terminate_np, index):
+            raise ValueError("incorrect final fold")
 
     def verify_last_oracle(self, terminate_np: np.ndarray) -> int:
         p = self.params
@@ -525,45 +608,3 @@ class FRIVerifier:
         if cur[0].tobytes() != commitment:
             raise ValueError("layer does not match commitment")
 
-    def _verify_query(self, index: int, terminate_np: np.ndarray,
-                      layers: list, advice) -> None:
-        p = self.params
-        if not p.fold_arities:
-            return
-        depths = p.vcs_optimal_layers_depths()
-        arity0 = p.fold_arities[0]
-        log_n_cosets = p.index_bits
-        values = self._verify_coset_opening(index, arity0, depths[0], log_n_cosets,
-                                            layers[0], advice)
-        log_coset0 = arity0 - p.log_batch_size
-        next_value = fold_interleaved_chunk_scalar(
-            self.domain, p.log_code_len, p.log_batch_size, index, values,
-            self.interleave_tensor, self.fold_challenges[:log_coset0])
-        fold_round = log_coset0
-        for i, arity in enumerate(p.fold_arities[1:]):
-            coset_index = index >> arity
-            log_n_cosets -= arity
-            values = self._verify_coset_opening(coset_index, arity, depths[i + 1],
-                                                log_n_cosets, layers[i + 1], advice)
-            if next_value != values[index % (1 << arity)]:
-                raise ValueError(f"incorrect fold at query round {i}")
-            next_value = fold_chunk_scalar(
-                self.domain, p.log_code_len - fold_round, coset_index, values,
-                self.fold_challenges[fold_round:fold_round + arity])
-            index = coset_index
-            fold_round += arity
-        if next_value != np_elem_to_int(terminate_np, index):
-            raise ValueError("incorrect final fold")
-
-    @staticmethod
-    def _verify_coset_opening(coset_index: int, log_coset: int, opt_depth: int,
-                              log_n_cosets: int, layer: np.ndarray, advice) -> list[int]:
-        raw = advice.read_bytes((1 << log_coset) * 16)
-        vals_np = np.frombuffer(raw, dtype="<u4").reshape(1 << log_coset, 4)
-        blob = vals_np.view(np.uint8).reshape(1, -1)
-        leaf_digest = hash_leaves(blob)[0].tobytes()
-        n_branch = log_n_cosets - opt_depth
-        branch = [advice.read_bytes(32) for _ in range(n_branch)]
-        if not verify_branch_to_layer(layer, coset_index, leaf_digest, branch):
-            raise ValueError("Merkle coset opening failed")
-        return [np_elem_to_int(vals_np, i) for i in range(vals_np.shape[0])]

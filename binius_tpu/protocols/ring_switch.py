@@ -376,6 +376,36 @@ def ring_switch_eq_ind_eval_batch(level: int, suffixes: list, mixes: list[int],
         zs = tower.from_ints(LEVEL, flat)
         zs = zs.reshape(tower.elem_shape(LEVEL, (pad_k, pad_u)))
         prods = _eq_ind_suffix_products_jit(level, zs, qs)
+        if u * 128 < n:
+            # out(mix) is F2-LINEAR in mix (scale, transpose, and the
+            # rc-fold are all F2-linear): evaluate the 128 bit-basis images
+            # per DISTINCT suffix on device, then each claim is a bit-masked
+            # XOR of basis images — no per-claim multiplies (keccak: 1926
+            # claims -> one 128-row kernel + host XORs)
+            V = 128
+            rows = u * V
+            pad_r = 1 << max(0, (rows - 1).bit_length())
+            sel = np.zeros(pad_r, dtype=np.int32)
+            mix_basis = [0] * pad_r
+            for ui in range(u):
+                for j in range(V):
+                    sel[ui * V + j] = ui
+                    mix_basis[ui * V + j] = 1 << j
+            mx = tower.from_ints(LEVEL, mix_basis)
+            W = _eq_ind_apply_mix_fold_jit(level, prods, jnp.asarray(sel), mx, rc)
+            W_np = np.asarray(jax.device_get(W))[:rows].reshape(u, V, 4)
+            mix_words = np.zeros((n, 4), dtype=np.uint32)
+            for i, m in enumerate(mixes):
+                for w in range(4):
+                    mix_words[i, w] = (m >> (32 * w)) & 0xFFFFFFFF
+            bits = np.unpackbits(mix_words.view(np.uint8), axis=1,
+                                 bitorder="little")        # (n, 128)
+            su = np.asarray([uniq[tuple(s)] for s in suffixes], dtype=np.int32)
+            masked = np.where(bits[:, :, None].astype(bool), W_np[su],
+                              np.uint32(0))
+            out_np = np.bitwise_xor.reduce(masked, axis=1)  # (n, 4)
+            return [int(r[0]) | (int(r[1]) << 32) | (int(r[2]) << 64)
+                    | (int(r[3]) << 96) for r in out_np]
         pad_n = 1 << max(0, (n - 1).bit_length())
         sel = np.zeros(pad_n, dtype=np.int32)
         for i, s in enumerate(suffixes):

@@ -73,6 +73,80 @@ def evaluate_scalar(variant: str, b: int, o: int, x: list[int], y: list[int]) ->
     raise ValueError(variant)
 
 
+_M64 = (1 << 64) - 1
+
+
+def _ints_to_pairs(vals) -> np.ndarray:
+    out = np.empty((len(vals), 2), dtype=np.uint64)
+    for i, v in enumerate(vals):
+        out[i, 0] = v & _M64
+        out[i, 1] = v >> 64
+    return out
+
+
+def _ll_eval_scalar_batch(b: int, offs: np.ndarray, xs: np.ndarray,
+                          ys: np.ndarray) -> np.ndarray:
+    """Vectorized carry DP for k LL indicators: offs (k,) uint32, xs/ys
+    (k, b, 2) uint64 pairs. Returns (k, 2) pairs. Uses the native B128
+    mul_batch kernel — 8 batch muls per bit instead of 8k Python muls."""
+    from .ring_switch import _mul_pairs
+    k = offs.shape[0]
+    s = [np.zeros((k, 2), dtype=np.uint64), np.zeros((k, 2), dtype=np.uint64)]
+    s[0][:, 0] = 1
+    one = np.zeros((k, 2), dtype=np.uint64)
+    one[:, 0] = 1
+    for kbit in range(b):
+        o_k = (offs >> kbit) & 1  # (k,)
+        ns = [np.zeros((k, 2), dtype=np.uint64), np.zeros((k, 2), dtype=np.uint64)]
+        xk, yk = xs[:, kbit], ys[:, kbit]
+        wx = {1: xk, 0: xk ^ one}
+        wy = {1: yk, 0: yk ^ one}
+        for c in (0, 1):
+            for xb in (0, 1):
+                y_req = (xb ^ o_k ^ c).astype(np.uint32)       # (k,)
+                c_out = ((xb + o_k + c) >= 2).astype(np.uint32)
+                wy_sel = np.where((y_req == 1)[:, None], wy[1], wy[0])
+                term = _mul_pairs(_mul_pairs(s[c], wx[xb]), wy_sel)
+                m0 = (c_out == 0)[:, None]
+                ns[0] ^= np.where(m0, term, np.uint64(0))
+                ns[1] ^= np.where(~m0, term, np.uint64(0))
+        s = ns
+    return s[0]
+
+
+def evaluate_scalar_batch(variants: list[str], bs: list[int], offs: list[int],
+                          x_points: list, y_points: list) -> list[int]:
+    """Batched `evaluate_scalar` over k claims (the evalcheck verifier's
+    per-wave shift-indicator checks): one vectorized DP per block size, with
+    circular claims contributing a second (complement-offset, swapped-args)
+    entry, XOR-combined (`shift_ind.rs` CircularLeft = LL(o) + LR(2^b-o))."""
+    k = len(variants)
+    out = [0] * k
+    by_b: dict = {}
+    for i in range(k):
+        by_b.setdefault(bs[i], []).append(i)
+    for b, idxs in by_b.items():
+        entries = []   # (claim_idx, off, x, y)
+        for i in idxs:
+            v, o = variants[i], offs[i]
+            if v == LOGICAL_LEFT:
+                entries.append((i, o, x_points[i], y_points[i]))
+            elif v == LOGICAL_RIGHT:
+                entries.append((i, o, y_points[i], x_points[i]))
+            elif v == CIRCULAR_LEFT:
+                entries.append((i, o, x_points[i], y_points[i]))
+                entries.append((i, (1 << b) - o, y_points[i], x_points[i]))
+            else:
+                raise ValueError(v)
+        eoffs = np.asarray([e[1] for e in entries], dtype=np.uint32)
+        xs = np.stack([_ints_to_pairs(e[2][:b]) for e in entries])
+        ys = np.stack([_ints_to_pairs(e[3][:b]) for e in entries])
+        res = _ll_eval_scalar_batch(b, eoffs, xs, ys)
+        for (i, _, _, _), r in zip(entries, res):
+            out[i] ^= int(r[0]) | (int(r[1]) << 64)
+    return out
+
+
 def _ll_partial_mle(b: int, o: int, x_point):
     """Device MLE over hypercube y of LL(o) indicator at x = x_point
     (list of b B128 ints). Returns a (2^b,) B128 array."""

@@ -437,10 +437,17 @@ class GroupedRegularSumcheckProver:
         self.eq_ind_challenges = eq_ind_challenges
         self.n_remaining = nv
         self.log_padded = max(_bucket_log(nv), 1)
-        self.spmd = False
+        self.mesh = (mesh_mod.mesh_of(gstack)
+                     if mesh_mod.is_mesh_sharded(gstack) else None)
+        self.spmd = self.mesh is not None
         if gstack.shape[2] < (1 << self.log_padded):
             pad = ((0, 0), (0, 0), (0, (1 << self.log_padded) - gstack.shape[2]), (0, 0))
             gstack = jnp.pad(gstack, pad)
+        if self.spmd:
+            # element axis (2) shards across the mesh; the group axis stays
+            # unsharded — XOR reductions stay over the unsharded claim axes
+            # and the element reduction threads spmd=True (halving tree)
+            gstack = mesh_mod.put_axis_sharded(self.mesh, gstack, 2)
         self.gstack = gstack
         deg = self.claim.max_individual_degree()
         self.domain = EvaluationDomain.from_subspace(3, deg + 1)
@@ -476,6 +483,8 @@ class GroupedRegularSumcheckProver:
 
     def fold(self, challenge: int) -> None:
         ch = tower.from_ints(LEVEL, [challenge])[0]
+        if self.spmd:
+            ch = mesh_mod.put_replicated(self.mesh, ch)
         active = jnp.uint32(1 << self.n_remaining)
         self.gstack = _grouped_fold_jit(self.log_padded, self.order_high,
                                         self.gstack, ch, active)

@@ -15,6 +15,7 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 import jax
+from binius_tpu.utils.jax_cache import cache_dir as _binius_cache_dir
 
 if "--cpu" in sys.argv:
     sys.argv.remove("--cpu")
@@ -22,10 +23,10 @@ if "--cpu" in sys.argv:
         os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                    + " --xla_cpu_max_isa=AVX2").strip()
     jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/tmp/binius_tpu_jax_cache_cpu")
+    jax.config.update("jax_compilation_cache_dir", _binius_cache_dir("cpu"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 elif jax.default_backend() in ("tpu", "axon"):
-    jax.config.update("jax_compilation_cache_dir", "/tmp/binius_tpu_jax_cache_tpu")
+    jax.config.update("jax_compilation_cache_dir", _binius_cache_dir("tpu"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 

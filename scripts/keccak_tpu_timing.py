@@ -20,8 +20,9 @@ if "--device-merkle" in sys.argv:
     os.environ["BINIUS_DEVICE_MERKLE"] = "1"
 
 import jax
+from binius_tpu.utils.jax_cache import cache_dir as _binius_cache_dir
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/binius_tpu_jax_cache_tpu")
+jax.config.update("jax_compilation_cache_dir", _binius_cache_dir("tpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 LOG_N = int(sys.argv[1]) if len(sys.argv) > 1 else 6

@@ -43,6 +43,7 @@ def _raise_max_map_count(target: int = 1 << 20) -> None:
 _raise_max_map_count()
 
 import jax  # noqa: E402  (already imported by sitecustomize; this is a no-op)
+from binius_tpu.utils.jax_cache import cache_dir as _binius_cache_dir
 
 if os.environ.get("BINIUS_TEST_TPU"):
     # Keep the ambient backend (axon/TPU). Meant for SELECTIVE runs of the
@@ -50,11 +51,11 @@ if os.environ.get("BINIUS_TEST_TPU"):
     # most of the suite assumes the hermetic 8-device CPU mesh and would be
     # slow and wrong-platform over the tunnel.
     jax.config.update("jax_compilation_cache_dir",
-                      "/tmp/binius_tpu_jax_cache_tpu")
+                      _binius_cache_dir("tpu"))
 else:
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir",
-                      "/tmp/binius_tpu_jax_cache_cpu")
+                      _binius_cache_dir("cpu"))
 jax.config.update("jax_traceback_filtering", "off")
 # Persistent compilation cache: safe ONLY together with the pinned
 # --xla_cpu_max_isa above (otherwise executables embed per-host tuning
