@@ -17,9 +17,16 @@ host-side transcript runs redundantly and deterministically on every
 process, which keeps hosts in lockstep without extra communication (each
 host computes the same challenges from the same committed data).
 
-This module cannot be integration-tested in a single-host image; the
-single-host analog (8-process CPU mesh semantics) is covered by the
-byte-equality tests and `__graft_entry__.dryrun_multichip`.
+`tests/test_distributed.py` integration-tests the multi-CONTROLLER path on
+this single-host image: two spawned processes initialize against a local
+coordinator, build one global 4-device CPU mesh, and run the sharded
+multiply + XOR-reduce kernel on a cross-process-sharded array with identical
+results on both ranks (Gloo collectives). Full multi-controller proving
+additionally needs process-local witness staging
+(`jax.make_array_from_process_local_data` instead of `device_put`) for
+arrays too large to replicate per host; the single-host 8-device mesh
+byte-equality tests and `__graft_entry__.dryrun_multichip` cover the
+prover's sharding semantics.
 """
 
 from __future__ import annotations

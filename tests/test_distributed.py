@@ -1,0 +1,97 @@
+"""Two-process jax.distributed smoke test on localhost CPU (SURVEY §5.8 /
+round-3 verdict row 72: `parallel/distributed.py` previously had zero
+exercised code paths).
+
+Spawns two worker processes that `distributed.initialize` against a local
+coordinator, build ONE global 4-device mesh (2 virtual CPU devices per
+process), run the sharded B128 multiply + XOR-reduce kernel on a
+cross-process-sharded array, and check the result equals the single-process
+scalar ground truth on BOTH processes. This exercises the real
+multi-controller path (global mesh, cross-process sharding, collectives);
+full multi-controller proving additionally needs process-local witness
+staging and is documented in `parallel/distributed.py`.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2 --xla_cpu_max_isa=AVX2"
+sys.path.insert(0, os.environ["BINIUS_REPO"])
+import jax
+jax.config.update("jax_platforms", "cpu")
+from binius_tpu.parallel import distributed
+
+coord = os.environ["COORD"]
+pid = int(os.environ["PROC_ID"])
+distributed.initialize(coordinator_address=coord, num_processes=2, process_id=pid)
+assert distributed.is_multi_host()
+local, total = distributed.local_device_fraction()
+assert (local, total) == (2, 4), (local, total)
+
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.experimental import multihost_utils
+from binius_tpu.fields import scalar, tower
+from binius_tpu.parallel import mesh as mesh_mod
+
+mesh = mesh_mod.make_mesh(4)
+rng = np.random.default_rng(5)
+a_np = rng.integers(0, 2**32, size=(64, 4), dtype=np.uint32)
+b_np = rng.integers(0, 2**32, size=(64, 4), dtype=np.uint32)
+A = jax.device_put(tower.from_numpy(7, a_np),
+                   NamedSharding(mesh, P(mesh_mod.AXIS, None)))
+B = jax.device_put(tower.from_numpy(7, b_np),
+                   NamedSharding(mesh, P(mesh_mod.AXIS, None)))
+
+@jax.jit
+def kernel(x, y):
+    return tower.xor_reduce(tower.mul(7, x, y), axis=0, spmd=True)
+
+out = kernel(A, B)
+out_local = np.asarray(multihost_utils.process_allgather(out, tiled=True)).reshape(-1)[:4]
+got = int(out_local[0]) | (int(out_local[1]) << 32) | \
+      (int(out_local[2]) << 64) | (int(out_local[3]) << 96)
+
+def to_int(r):
+    return int(r[0]) | (int(r[1]) << 32) | (int(r[2]) << 64) | (int(r[3]) << 96)
+want = 0
+for i in range(64):
+    want ^= scalar.mul(7, to_int(a_np[i]), to_int(b_np[i]))
+assert got == want, f"proc {pid}: {got:#x} != {want:#x}"
+print(f"proc {pid} OK", flush=True)
+"""
+
+
+@pytest.mark.skipif(os.environ.get("BINIUS_TEST_TPU"), reason="CPU-mesh test")
+def test_two_process_distributed_kernel():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ, COORD=coord, PROC_ID=str(pid),
+                   BINIUS_REPO=repo, JAX_PLATFORMS="")
+        env.pop("XLA_FLAGS", None)
+        procs.append(subprocess.Popen([sys.executable, "-c", _WORKER],
+                                      env=env, stdout=subprocess.PIPE,
+                                      stderr=subprocess.STDOUT))
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=420)
+            outs.append(out.decode())
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        assert f"proc {pid} OK" in out
