@@ -54,7 +54,10 @@ class TableWitness:
         v = col.log_values_per_row
         w = 1 << v
         if w <= 64:
-            a = np.array([int(x) for x in row_values], dtype=np.uint64)
+            if isinstance(row_values, np.ndarray) and row_values.dtype == np.uint64:
+                a = row_values
+            else:
+                a = np.array([int(x) for x in row_values], dtype=np.uint64)
             bits = (a[:, None] >> np.arange(w, dtype=np.uint64)) & np.uint64(1)
             self.set_column(col, bits.reshape(-1).astype(np.uint32))
             return

@@ -133,37 +133,42 @@ class KeccakF:
 
     def populate(self, tw, input_lanes_rows: list) -> list:
         """Fill all committed columns from per-row input lane lists; returns
-        per-row output lanes."""
-        M = (1 << 64) - 1
+        per-row output lanes. Vectorized over rows with numpy uint64 lanes —
+        the per-row Python permutation cost ~311 ms/permutation, a 42-minute
+        host wall at the 2^13 benchmark size."""
+        import numpy as np
 
-        def rot(v, n):
-            n %= 64
-            return ((v << n) | (v >> (64 - n))) & M
+        def rot(v, k):
+            k %= 64
+            if k == 0:
+                return v
+            return (v << np.uint64(k)) | (v >> np.uint64(64 - k))
 
-        outs = []
-        per_round_rows = [[] for _ in range(N_ROUNDS)]
-        for lanes in input_lanes_rows:
-            a = list(lanes)
-            for r in range(N_ROUNDS):
-                c = [a[x] ^ a[x + 5] ^ a[x + 10] ^ a[x + 15] ^ a[x + 20]
-                     for x in range(5)]
-                d = [c[(x - 1) % 5] ^ rot(c[(x + 1) % 5], 1) for x in range(5)]
-                at = [a[x + 5 * y] ^ d[x] for y in range(5) for x in range(5)]
-                b = [0] * 25
-                for x in range(5):
-                    for y in range(5):
-                        b[y + 5 * ((2 * x + 3 * y) % 5)] = rot(at[x + 5 * y], RHO[x][y])
-                a = [b[x + 5 * y] ^ ((~b[(x + 1) % 5 + 5 * y]) & b[(x + 2) % 5 + 5 * y])
-                     for y in range(5) for x in range(5)]
-                a[0] ^= RC[r]
-                per_round_rows[r].append(list(a))
-            outs.append(a)
+        a = np.array([[int(x) for x in row] for row in input_lanes_rows],
+                     dtype=np.uint64).T.copy()  # (25, n_rows)
+        per_round = []
+        for r in range(N_ROUNDS):
+            c = [a[x] ^ a[x + 5] ^ a[x + 10] ^ a[x + 15] ^ a[x + 20]
+                 for x in range(5)]
+            d = [c[(x - 1) % 5] ^ rot(c[(x + 1) % 5], 1) for x in range(5)]
+            at = [a[x + 5 * y] ^ d[x] for y in range(5) for x in range(5)]
+            b = [None] * 25
+            for x in range(5):
+                for y in range(5):
+                    b[y + 5 * ((2 * x + 3 * y) % 5)] = rot(at[x + 5 * y], RHO[x][y])
+            a = np.stack([b[x + 5 * y]
+                          ^ ((~b[(x + 1) % 5 + 5 * y]) & b[(x + 2) % 5 + 5 * y])
+                          for y in range(5) for x in range(5)])
+            a[0] ^= np.uint64(RC[r])
+            per_round.append(a)
+        inp = np.array([[int(x) for x in row] for row in input_lanes_rows],
+                       dtype=np.uint64)
         for i, col in enumerate(self.state_in):
-            tw.set_packed_ints(col, [row[i] for row in input_lanes_rows])
+            tw.set_packed_ints(col, inp[:, i])
         for r in range(N_ROUNDS):
             for i, col in enumerate(self.rounds_out[r]):
-                tw.set_packed_ints(col, [row[i] for row in per_round_rows[r]])
-        return outs
+                tw.set_packed_ints(col, per_round[r][i])
+        return [[int(v) for v in row] for row in per_round[-1].T]
 
 
 # ---------------------------------------------------------------------------
@@ -254,44 +259,57 @@ class KeccakFLookedup:
 
     def populate(self, tw, input_lanes_rows: list):
         """Fill committed columns; returns (per-row output lanes,
-        bit-AND index counts[4] for the lookup table side)."""
-        M = (1 << 64) - 1
+        bit-AND index counts[4] for the lookup table side). Vectorized over
+        rows (numpy uint64); chi bit-pair counts come from popcounts."""
+        import numpy as np
 
-        def rot(v, n):
-            n %= 64
-            return ((v << n) | (v >> (64 - n))) & M
+        def rot(v, k):
+            k %= 64
+            if k == 0:
+                return v
+            return (v << np.uint64(k)) | (v >> np.uint64(64 - k))
 
+        def popsum(v) -> int:
+            return int(np.bitwise_count(v).sum())
+
+        a = np.array([[int(x) for x in row] for row in input_lanes_rows],
+                     dtype=np.uint64).T.copy()  # (25, n_rows)
         counts = [0, 0, 0, 0]
-        outs = []
-        per_round_rows = [[] for _ in range(N_ROUNDS)]
-        for lanes in input_lanes_rows:
-            a = list(lanes)
-            for r in range(N_ROUNDS):
-                c = [a[x] ^ a[x + 5] ^ a[x + 10] ^ a[x + 15] ^ a[x + 20]
-                     for x in range(5)]
-                d = [c[(x - 1) % 5] ^ rot(c[(x + 1) % 5], 1) for x in range(5)]
-                at = [a[x + 5 * y] ^ d[x] for y in range(5) for x in range(5)]
-                b = [0] * 25
-                for x in range(5):
-                    for y in range(5):
-                        b[y + 5 * ((2 * x + 3 * y) % 5)] = rot(at[x + 5 * y], RHO[x][y])
+        per_round = []
+        for r in range(N_ROUNDS):
+            c = [a[x] ^ a[x + 5] ^ a[x + 10] ^ a[x + 15] ^ a[x + 20]
+                 for x in range(5)]
+            d = [c[(x - 1) % 5] ^ rot(c[(x + 1) % 5], 1) for x in range(5)]
+            at = [a[x + 5 * y] ^ d[x] for y in range(5) for x in range(5)]
+            b = [None] * 25
+            for x in range(5):
                 for y in range(5):
-                    for x in range(5):
-                        nb1 = (~b[(x + 1) % 5 + 5 * y]) & M
-                        b2 = b[(x + 2) % 5 + 5 * y]
-                        for z in range(64):
-                            counts[bit_and_index((nb1 >> z) & 1, (b2 >> z) & 1)] += 1
-                a = [b[x + 5 * y] ^ ((~b[(x + 1) % 5 + 5 * y]) & b[(x + 2) % 5 + 5 * y])
-                     for y in range(5) for x in range(5)]
-                a[0] ^= RC[r]
-                per_round_rows[r].append(list(a))
-            outs.append(a)
+                    b[y + 5 * ((2 * x + 3 * y) % 5)] = rot(at[x + 5 * y], RHO[x][y])
+            for y in range(5):
+                for x in range(5):
+                    nb1 = ~b[(x + 1) % 5 + 5 * y]
+                    b2 = b[(x + 2) % 5 + 5 * y]
+                    n11 = popsum(nb1 & b2)
+                    n10 = popsum(nb1 & ~b2)
+                    n01 = popsum(~nb1 & b2)
+                    n00 = 64 * b2.size - n11 - n10 - n01
+                    counts[bit_and_index(1, 1)] += n11
+                    counts[bit_and_index(1, 0)] += n10
+                    counts[bit_and_index(0, 1)] += n01
+                    counts[bit_and_index(0, 0)] += n00
+            a = np.stack([b[x + 5 * y]
+                          ^ ((~b[(x + 1) % 5 + 5 * y]) & b[(x + 2) % 5 + 5 * y])
+                          for y in range(5) for x in range(5)])
+            a[0] ^= np.uint64(RC[r])
+            per_round.append(a)
+        inp = np.array([[int(x) for x in row] for row in input_lanes_rows],
+                       dtype=np.uint64)
         for i, col in enumerate(self.state_in):
-            tw.set_packed_ints(col, [row[i] for row in input_lanes_rows])
+            tw.set_packed_ints(col, inp[:, i])
         for r in range(N_ROUNDS):
             for i, col in enumerate(self.rounds_out[r]):
-                tw.set_packed_ints(col, [row[i] for row in per_round_rows[r]])
-        return outs, counts
+                tw.set_packed_ints(col, per_round[r][i])
+        return [[int(v) for v in row] for row in per_round[-1].T], counts
 
 
 @dataclasses.dataclass
