@@ -46,23 +46,23 @@ class U32Add:
                       group=group)
         return U32Add(xin, yin, zout, cout, cin)
 
-    def populate(self, tw, x_rows: list, y_rows: list) -> list:
-        """Fill witness columns from per-row u32 inputs; returns z values."""
-        z_rows, cout_rows = [], []
-        for xv, yv in zip(x_rows, y_rows):
-            zv = (xv + yv) & 0xFFFFFFFF
-            carries = 0
-            cin = 0
-            for i in range(32):
-                xi, yi = (xv >> i) & 1, (yv >> i) & 1
-                cout = (xi & yi) | (cin & (xi ^ yi))
-                carries |= cout << i
-                cin = cout
-            z_rows.append(zv)
-            cout_rows.append(carries)
-        tw.set_packed_ints(self.zout, z_rows)
-        tw.set_packed_ints(self.cout, cout_rows)
-        return z_rows
+    def populate(self, tw, x_rows, y_rows) -> list:
+        """Fill witness columns from per-row u32 inputs; returns z values.
+        Vectorized: carry-in word = (x+y) ^ x ^ y, carry-out = carry-in >> 1
+        with the bit-32 overflow landing at position 31."""
+        import numpy as np
+        x = (x_rows.astype(np.uint64) if isinstance(x_rows, np.ndarray)
+             else np.array([int(v) for v in x_rows], dtype=np.uint64))
+        y = (y_rows.astype(np.uint64) if isinstance(y_rows, np.ndarray)
+             else np.array([int(v) for v in y_rows], dtype=np.uint64))
+        full = x + y
+        cin = full ^ x ^ y
+        couts = ((cin >> np.uint64(1)) & np.uint64(0x7FFFFFFF)) \
+            | ((full >> np.uint64(32)) << np.uint64(31))
+        z = full & np.uint64(0xFFFFFFFF)
+        tw.set_packed_ints(self.zout, z)
+        tw.set_packed_ints(self.cout, couts)
+        return [int(v) for v in z]
 
 
 @dataclasses.dataclass
@@ -87,22 +87,21 @@ class U32Sub:
         t.assert_zero(f"{name}.diff", [xin, yin, bin_, zout, bout], x + y + bi + z)
         return U32Sub(xin, yin, zout, bout, bin_)
 
-    def populate(self, tw, x_rows: list, y_rows: list) -> list:
-        z_rows, bout_rows = [], []
-        for xv, yv in zip(x_rows, y_rows):
-            zv = (xv - yv) & 0xFFFFFFFF
-            borrows = 0
-            bin_ = 0
-            for i in range(32):
-                xi, yi = (xv >> i) & 1, (yv >> i) & 1
-                bout = ((1 ^ xi) & (yi | bin_)) | (xi & yi & bin_)
-                borrows |= bout << i
-                bin_ = bout
-            z_rows.append(zv)
-            bout_rows.append(borrows)
-        tw.set_packed_ints(self.zout, z_rows)
-        tw.set_packed_ints(self.bout, bout_rows)
-        return z_rows
+    def populate(self, tw, x_rows, y_rows) -> list:
+        """Vectorized borrow chain: borrow-in word = x ^ y ^ (x-y), borrow-out
+        = borrow-in >> 1 with the overall borrow (x < y) at position 31."""
+        import numpy as np
+        x = (x_rows.astype(np.uint64) if isinstance(x_rows, np.ndarray)
+             else np.array([int(v) for v in x_rows], dtype=np.uint64))
+        y = (y_rows.astype(np.uint64) if isinstance(y_rows, np.ndarray)
+             else np.array([int(v) for v in y_rows], dtype=np.uint64))
+        z = (x - y) & np.uint64(0xFFFFFFFF)
+        bin_ = x ^ y ^ z
+        bouts = ((bin_ >> np.uint64(1)) & np.uint64(0x7FFFFFFF)) \
+            | ((x < y).astype(np.uint64) << np.uint64(31))
+        tw.set_packed_ints(self.zout, z)
+        tw.set_packed_ints(self.bout, bouts)
+        return [int(v) for v in z]
 
 
 def u32_bitwise_and(t: TableBuilder, name: str, xin: Col, yin: Col) -> Col:

@@ -133,58 +133,65 @@ class Sha256:
     def populate(self, tw, msg_rows: list) -> list:
         """msg_rows: per row, 16 u32 words. Returns per-row 8-word digests.
 
-        Fills every adder/ch/maj committed column by replaying the circuit
-        per row with integer arithmetic.
-        """
+        Replays the circuit VECTORIZED over rows (numpy uint32 lanes): each
+        adder sees one (x, y) array pair, ch/maj are word-level boolean
+        algebra — the per-row Python replay was the trace-gen wall at
+        benchmark sizes (same fix as keccak's populate)."""
+        import numpy as np
+
+        U = np.uint32
+
         def rotr(v, n):
             n %= 32
-            return ((v >> n) | (v << (32 - n))) & M32
+            if n == 0:
+                return v
+            return (v >> U(n)) | (v << U(32 - n))
 
-        digests = []
-        adder_inputs = [[] for _ in self.adders]
-        ch_vals = [[] for _ in self.ch_cols]
-        maj_vals = [[] for _ in self.maj_cols]
-        for words in msg_rows:
-            ai = 0
+        n_rows = len(msg_rows)
+        adder_inputs = [None] * len(self.adders)
+        ai = 0
 
-            def add_val(x, y):
-                nonlocal ai
-                adder_inputs[ai].append((x, y))
-                ai += 1
-                return (x + y) & M32
+        def add_val(x, y):
+            nonlocal ai
+            adder_inputs[ai] = (x, y)
+            ai += 1
+            return x + y  # uint32 wraps mod 2^32
 
-            w = list(words)
-            for i in range(16, 64):
-                s0 = rotr(w[i - 15], 7) ^ rotr(w[i - 15], 18) ^ (w[i - 15] >> 3)
-                s1 = rotr(w[i - 2], 17) ^ rotr(w[i - 2], 19) ^ (w[i - 2] >> 10)
-                x = add_val(w[i - 16], s0)
-                y = add_val(x, w[i - 7])
-                w.append(add_val(y, s1))
-            a, b, c, d, e, f, g, h = IV
-            for r in range(64):
-                S1 = rotr(e, 6) ^ rotr(e, 11) ^ rotr(e, 25)
-                ch = (e & f) ^ (~e & g) & M32
-                ch &= M32
-                ch_vals[r].append(ch)
-                t1a = add_val(h, S1)
-                t1b = add_val(t1a, ch)
-                t1c = add_val(t1b, K[r])
-                t1 = add_val(t1c, w[r])
-                S0 = rotr(a, 2) ^ rotr(a, 13) ^ rotr(a, 22)
-                maj = (a & b) ^ (a & c) ^ (b & c)
-                maj_vals[r].append(maj)
-                t2 = add_val(S0, maj)
-                e_new = add_val(d, t1)
-                a_new = add_val(t1, t2)
-                a, b, c, d, e, f, g, h = a_new, a, b, c, e_new, e, f, g
-            digest = []
-            for j, s in enumerate([a, b, c, d, e, f, g, h]):
-                digest.append(add_val(s, IV[j]))
-            digests.append(digest)
-        for gadget, pairs in zip(self.adders, adder_inputs):
-            gadget.populate(tw, [p[0] for p in pairs], [p[1] for p in pairs])
+        w = [np.array([int(row[i]) for row in msg_rows], dtype=U)
+             for i in range(16)]
+        for i in range(16, 64):
+            s0 = rotr(w[i - 15], 7) ^ rotr(w[i - 15], 18) ^ (w[i - 15] >> U(3))
+            s1 = rotr(w[i - 2], 17) ^ rotr(w[i - 2], 19) ^ (w[i - 2] >> U(10))
+            x = add_val(w[i - 16], s0)
+            y = add_val(x, w[i - 7])
+            w.append(add_val(y, s1))
+        state = [np.full(n_rows, U(v)) for v in IV]
+        ch_vals, maj_vals = [], []
+        a, b, c, d, e, f, g, h = state
+        for r in range(64):
+            S1 = rotr(e, 6) ^ rotr(e, 11) ^ rotr(e, 25)
+            ch = (e & f) ^ (~e & g)
+            ch_vals.append(ch)
+            t1a = add_val(h, S1)
+            t1b = add_val(t1a, ch)
+            t1c = add_val(t1b, np.full(n_rows, U(K[r])))
+            t1 = add_val(t1c, w[r])
+            S0 = rotr(a, 2) ^ rotr(a, 13) ^ rotr(a, 22)
+            maj = (a & b) ^ (a & c) ^ (b & c)
+            maj_vals.append(maj)
+            t2 = add_val(S0, maj)
+            e_new = add_val(d, t1)
+            a_new = add_val(t1, t2)
+            a, b, c, d, e, f, g, h = a_new, a, b, c, e_new, e, f, g
+        digest_cols = []
+        for j, s in enumerate([a, b, c, d, e, f, g, h]):
+            digest_cols.append(add_val(s, np.full(n_rows, U(IV[j]))))
+        assert ai == len(self.adders)
+        for gadget, (xs, ys) in zip(self.adders, adder_inputs):
+            gadget.populate(tw, xs.astype(np.uint64), ys.astype(np.uint64))
         for col, vals in zip(self.ch_cols, ch_vals):
-            tw.set_packed_ints(col, vals)
+            tw.set_packed_ints(col, vals.astype(np.uint64))
         for col, vals in zip(self.maj_cols, maj_vals):
-            tw.set_packed_ints(col, vals)
-        return digests
+            tw.set_packed_ints(col, vals.astype(np.uint64))
+        return [[int(digest_cols[j][i]) for j in range(8)]
+                for i in range(n_rows)]
