@@ -62,7 +62,7 @@ class U32Add:
         z = full & np.uint64(0xFFFFFFFF)
         tw.set_packed_ints(self.zout, z)
         tw.set_packed_ints(self.cout, couts)
-        return [int(v) for v in z]
+        return z
 
 
 @dataclasses.dataclass
@@ -101,7 +101,7 @@ class U32Sub:
             | ((x < y).astype(np.uint64) << np.uint64(31))
         tw.set_packed_ints(self.zout, z)
         tw.set_packed_ints(self.bout, bouts)
-        return [int(v) for v in z]
+        return z
 
 
 def u32_bitwise_and(t: TableBuilder, name: str, xin: Col, yin: Col) -> Col:

@@ -75,6 +75,49 @@ def round_consts_tower(rnd: int) -> tuple:
 N_ROUNDS = 10
 
 
+# --- numpy lookup tables for vectorized trace generation (B8 = 256 values,
+# so every per-element field op is one fancy-indexed table read) ---
+
+@functools.lru_cache(maxsize=None)
+def _inv8_table():
+    import numpy as np
+    return np.array([scalar.invert(3, v) if v else 0 for v in range(256)],
+                    dtype=np.uint8)
+
+
+@functools.lru_cache(maxsize=None)
+def _sbox_out_table():
+    """inv value -> affine S-box output (offset + matrix columns folded)."""
+    import numpy as np
+    cols, off = sbox_tower_matrix_cols(), sbox_tower_offset()
+    t = np.empty(256, dtype=np.uint8)
+    for v in range(256):
+        acc = off
+        for j in range(8):
+            if (v >> j) & 1:
+                acc ^= cols[j]
+        t[v] = acc
+    return t
+
+
+@functools.lru_cache(maxsize=None)
+def _mul8_table(m: int):
+    import numpy as np
+    return np.array([scalar.mul(3, m, v) for v in range(256)], dtype=np.uint8)
+
+
+@functools.lru_cache(maxsize=None)
+def _to_tower_table():
+    import numpy as np
+    return np.array([_to_tower(v) for v in range(256)], dtype=np.uint8)
+
+
+@functools.lru_cache(maxsize=None)
+def _from_tower_table():
+    import numpy as np
+    return np.array([_from_tower(v) for v in range(256)], dtype=np.uint8)
+
+
 @dataclasses.dataclass
 class SBox:
     """Rijndael S-box over tower B8 (`groestl.rs:318-350`): committed
@@ -111,22 +154,16 @@ class SBox:
         output = t.add_computed(f"{name}.out", out_expr, inv_bits)
         return SBox(inv_bits, inv, output)
 
-    def populate(self, tw, in_vals: list) -> list:
-        """in_vals: flat tower-B8 ints (one per state-row slot); returns
-        S-box outputs."""
-        inv = [scalar.invert(3, v) if v else 0 for v in in_vals]
+    def populate(self, tw, in_vals):
+        """in_vals: flat tower-B8 values (uint8 array or int list), one per
+        state-row slot; returns S-box outputs (uint8 array)."""
+        import numpy as np
+        vals = np.asarray(in_vals, dtype=np.uint8)
+        inv = _inv8_table()[vals]
         for j in range(8):
-            tw.set_column(self.inv_bits[j], [(v >> j) & 1 for v in inv])
-        cols = sbox_tower_matrix_cols()
-        off = sbox_tower_offset()
-        out = []
-        for v in inv:
-            acc = off
-            for j in range(8):
-                if (v >> j) & 1:
-                    acc ^= cols[j]
-            out.append(acc)
-        return out
+            tw.set_column(self.inv_bits[j],
+                          ((inv >> j) & 1).astype(np.uint32))
+        return _sbox_out_table()[inv]
 
 
 @dataclasses.dataclass
@@ -187,43 +224,35 @@ class PermutationRound:
                                 shift, state_out)
 
     def populate(self, tw, state_rows: list) -> list:
-        """state_rows[i] = flat list of tower ints for column i (row-major:
-        table row r slot j at index r*8+j). Returns the round's output."""
-        rc = round_consts_tower(self.rnd)
-        ff = _to_tower(0xFF)
+        """state_rows[i] = flat uint8 array of tower values for column i
+        (row-major: table row r slot j at index r*8+j). Returns the round's
+        output columns (uint8 arrays)."""
+        import numpy as np
+        rc = np.array(round_consts_tower(self.rnd), dtype=np.uint8)
+        ff = np.uint8(_to_tower(0xFF))
         n = len(state_rows[0])
+        rc_tiled = np.tile(rc, n // 8)
         sb_out = []
         for i in range(8):
-            vals = state_rows[i]
+            vals = np.asarray(state_rows[i], dtype=np.uint8)
             if self.variant == "P":
                 if i == 0:
-                    vals = [v ^ rc[k % 8] for k, v in enumerate(vals)]
+                    vals = vals ^ rc_tiled
             else:
-                if i == 7:
-                    vals = [v ^ rc[k % 8] ^ ff for k, v in enumerate(vals)]
-                else:
-                    vals = [v ^ ff for v in vals]
+                vals = (vals ^ rc_tiled ^ ff) if i == 7 else vals ^ ff
             sb_out.append(self.sbox[i].populate(tw, vals))
 
         shifts_tbl = SHIFTS_P if self.variant == "P" else SHIFTS_Q
-        shifted = []
-        for i in range(8):
-            off = shifts_tbl[i]
-            row = sb_out[i]
-            out = [0] * n
-            for k in range(n):
-                r, j = divmod(k, 8)
-                out[r * 8 + j] = row[r * 8 + ((j + off) % 8)]
-            shifted.append(out)
+        shifted = [np.roll(sb_out[i].reshape(-1, 8), -shifts_tbl[i],
+                           axis=1).reshape(-1)
+                   for i in range(8)]
 
         mix = mix_tower_scalars()
         out_rows = []
         for j in range(8):
-            col = [0] * n
+            col = np.zeros(n, dtype=np.uint8)
             for i in range(8):
-                m = mix[(8 + i - j) % 8]
-                for k in range(n):
-                    col[k] ^= scalar.mul(3, m, shifted[i][k])
+                col ^= _mul8_table(mix[(8 + i - j) % 8])[shifted[i]]
             out_rows.append(col)
         return out_rows
 
@@ -262,21 +291,19 @@ class Permutation:
         """states_aes: per table row, a ROWSxCOLS numpy/list state of AES-rep
         bytes (spec layout, `hash/groestl.py`). Fills the committed input
         columns and every round witness; returns the output states (AES rep)."""
+        import numpy as np
         n_rows = len(states_aes)
-        state_rows = []
+        # [n_rows, 8 state-rows, 8 cols] AES-rep -> tower, per-column flats
+        st = np.asarray(states_aes, dtype=np.uint8)
+        tower = _to_tower_table()[st]  # [n_rows, 8, 8]
+        state_rows = [np.ascontiguousarray(tower[:, i, :]).reshape(-1)
+                      for i in range(8)]
         for i in range(8):
-            flat = []
-            for st in states_aes:
-                for j in range(8):
-                    flat.append(_to_tower(int(st[i][j])))
-            state_rows.append(flat)
-        for i in range(8):
-            tw.set_column(self.state_in[i], state_rows[i])
+            tw.set_column(self.state_in[i], state_rows[i].astype(np.uint32))
         cur = state_rows
         for pr in self.rounds:
             cur = pr.populate(tw, cur)
-        outs = []
-        for r in range(n_rows):
-            outs.append([[_from_tower(cur[i][r * 8 + j]) for j in range(8)]
-                        for i in range(8)])
-        return outs
+        out = _from_tower_table()[np.stack(
+            [c.reshape(n_rows, 8) for c in cur], axis=1)]  # [n_rows, 8, 8]
+        return [[[int(out[r, i, j]) for j in range(8)] for i in range(8)]
+                for r in range(n_rows)]

@@ -66,20 +66,21 @@ class U32Mul:
             acc = g.zout
         return U32Mul(xin, yin, acc, bit_cols, partial_cols, adders)
 
-    def populate(self, tw, x_rows: list, y_rows: list) -> list:
-        n = len(x_rows)
+    def populate(self, tw, x_rows, y_rows) -> list:
+        import numpy as np
+        x = np.array([int(v) for v in x_rows], dtype=np.uint64)
+        y = np.array([int(v) for v in y_rows], dtype=np.uint64)
         partial_vals = []
         for i in range(32):
-            bits = [((y >> i) & 1) * M32 for y in y_rows]
-            tw.set_packed_ints(self.bit_cols[i], bits)
-            pv = [((x << i) & M32) if (y >> i) & 1 else 0
-                  for x, y in zip(x_rows, y_rows)]
+            bit = (y >> np.uint64(i)) & np.uint64(1)
+            tw.set_packed_ints(self.bit_cols[i], bit * np.uint64(M32))
+            pv = ((x << np.uint64(i)) & np.uint64(M32)) * bit
             tw.set_packed_ints(self.partial_cols[i], pv)
             partial_vals.append(pv)
         acc = partial_vals[0]
         for i, g in enumerate(self.adders):
             acc = g.populate(tw, acc, partial_vals[i + 1])
-        return acc
+        return [int(v) for v in acc]
 
 
 def _pack_bits_expr(n: int):
@@ -166,17 +167,21 @@ class MulUU32:
                        g_pow_x, g_pow_xy, g_pow_out_low, g_pow_out_high,
                        xin, yin, out_low, out_high)
 
-    def populate(self, tw, x_rows: list, y_rows: list) -> tuple:
+    def populate(self, tw, x_rows, y_rows) -> tuple:
         """Fill the bit columns; returns (out_high_rows, out_low_rows).
         Exp result columns are computed by the prover (`exp.rs:231`)."""
-        lo_rows, hi_rows = [], []
-        for x, y in zip(x_rows, y_rows):
-            p = int(x) * int(y)
-            lo_rows.append(p & M32)
-            hi_rows.append((p >> 32) & M32)
+        import numpy as np
+        x = np.array([int(v) for v in x_rows], dtype=np.uint64)
+        y = np.array([int(v) for v in y_rows], dtype=np.uint64)
+        p = x * y  # exact: 32x32 -> 64 bits
+        lo, hi = p & np.uint64(M32), p >> np.uint64(32)
         for i in range(32):
-            tw.set_column(self.x_bits[i], [(int(x) >> i) & 1 for x in x_rows])
-            tw.set_column(self.y_bits[i], [(int(y) >> i) & 1 for y in y_rows])
-            tw.set_column(self.out_low_bits[i], [(v >> i) & 1 for v in lo_rows])
-            tw.set_column(self.out_high_bits[i], [(v >> i) & 1 for v in hi_rows])
-        return hi_rows, lo_rows
+            sh = np.uint64(i)
+            one = np.uint64(1)
+            tw.set_column(self.x_bits[i], ((x >> sh) & one).astype(np.uint32))
+            tw.set_column(self.y_bits[i], ((y >> sh) & one).astype(np.uint32))
+            tw.set_column(self.out_low_bits[i],
+                          ((lo >> sh) & one).astype(np.uint32))
+            tw.set_column(self.out_high_bits[i],
+                          ((hi >> sh) & one).astype(np.uint32))
+        return [int(v) for v in hi], [int(v) for v in lo]
