@@ -6,7 +6,7 @@ Proves 2^log_n_muls B32 products c = a * b. Usage:
 
 import argparse
 import os
-import random
+import numpy as np
 import sys
 import time
 
@@ -42,10 +42,9 @@ def main():
     from binius_tpu.constraint_system import prove as csp
     from binius_tpu.constraint_system.system import (ConstraintSet, ConstraintSystem,
                                                      validate_witness)
-    from binius_tpu.fields import scalar, tower
+    from binius_tpu.fields import tower
     from binius_tpu.math.arith import ArithExpr
 
-    random.seed(0)
     n_vars = args.log_n_muls
     n = 1 << n_vars
     print(f"b32_mul: proving {n} B32 multiplications on {jax.devices()[0]}")
@@ -59,12 +58,11 @@ def main():
         oracles, [ConstraintSet(n_vars, (a_id, b_id, c_id), (A * B + C,))])
 
     t0 = time.perf_counter()
-    a_vals = [random.getrandbits(32) for _ in range(n)]
-    b_vals = [random.getrandbits(32) for _ in range(n)]
-    c_vals = [scalar.mul(5, x, y) for x, y in zip(a_vals, b_vals)]
-    witness = {a_id: (5, tower.from_ints(5, a_vals)),
-               b_id: (5, tower.from_ints(5, b_vals)),
-               c_id: (5, tower.from_ints(5, c_vals))}
+    rng = np.random.default_rng(0)
+    A = tower.from_numpy(5, rng.integers(0, 1 << 32, size=n, dtype=np.uint32))
+    B = tower.from_numpy(5, rng.integers(0, 1 << 32, size=n, dtype=np.uint32))
+    C = tower.mul(5, A, B)  # product witness computed on device
+    witness = {a_id: (5, A), b_id: (5, B), c_id: (5, C)}
     t1 = time.perf_counter()
     print(f"trace-gen-time: {(t1 - t0) * 1e3:.1f} ms")
 

@@ -6,7 +6,6 @@ Proves 2^log_n_ops rows of u32 AND/XOR/OR. Usage:
 
 import argparse
 import os
-import random
 import sys
 import time
 
@@ -44,7 +43,6 @@ def main():
     from binius_tpu.m3.builder.witness import WitnessIndex
     from binius_tpu.m3.gadgets import arith
 
-    random.seed(0)
     n = 1 << args.log_n_ops
     print(f"bitwise_ops: proving {n} rows of u32 AND/XOR/OR on {jax.devices()[0]}")
 
@@ -60,13 +58,15 @@ def main():
     t0 = time.perf_counter()
     wi = WitnessIndex(m3, [args.log_n_ops])
     tw = wi.table(0)
-    xs = [random.getrandbits(32) for _ in range(n)]
-    ys = [random.getrandbits(32) for _ in range(n)]
+    import numpy as np
+    rng = np.random.default_rng(0)
+    xs = rng.integers(0, 1 << 32, size=n, dtype=np.uint64)
+    ys = rng.integers(0, 1 << 32, size=n, dtype=np.uint64)
     tw.set_packed_ints(xin, xs)
     tw.set_packed_ints(yin, ys)
-    tw.set_packed_ints(and_out, [x & y for x, y in zip(xs, ys)])
-    tw.set_packed_ints(xor_out, [x ^ y for x, y in zip(xs, ys)])
-    tw.set_packed_ints(or_out, [x | y for x, y in zip(xs, ys)])
+    tw.set_packed_ints(and_out, xs & ys)
+    tw.set_packed_ints(xor_out, xs ^ ys)
+    tw.set_packed_ints(or_out, xs | ys)
     witness = wi.to_core_witness(core, omap)
     t1 = time.perf_counter()
     print(f"trace-gen-time: {(t1 - t0) * 1e3:.1f} ms")

@@ -6,7 +6,6 @@ Proves 2^log_n_adds u32 additions. Usage:
 
 import argparse
 import os
-import random
 import sys
 import time
 
@@ -44,7 +43,6 @@ def main():
     from binius_tpu.m3.builder.witness import WitnessIndex
     from binius_tpu.m3.gadgets import arith
 
-    random.seed(0)
     n = 1 << args.log_n_adds
     print(f"u32_add: proving {n} u32 additions on {jax.devices()[0]}")
 
@@ -58,8 +56,10 @@ def main():
     t0 = time.perf_counter()
     wi = WitnessIndex(m3, [args.log_n_adds])
     tw = wi.table(0)
-    xs = [random.getrandbits(32) for _ in range(n)]
-    ys = [random.getrandbits(32) for _ in range(n)]
+    import numpy as np
+    rng = np.random.default_rng(0)
+    xs = rng.integers(0, 1 << 32, size=n, dtype=np.uint64)
+    ys = rng.integers(0, 1 << 32, size=n, dtype=np.uint64)
     tw.set_packed_ints(xin, xs)
     tw.set_packed_ints(yin, ys)
     adder.populate(tw, xs, ys)
