@@ -83,9 +83,12 @@ def bench_b128_mul():
 def bench_groestl_leaf_hash():
     """Bitsliced device Grøstl-256 over Merkle leaves: MB hashed per second
     (the commit-phase hashing hot loop; reference criterion bench
-    `crates/hash/benches/hash.rs`). 2^16 leaves x 64 bytes, chained timing."""
+    `crates/hash/benches/hash.rs`). 2^16 leaves x 64 bytes, chained timing.
+    Returns (xla_MBps, pallas_MBps_or_None) — distinct keys per
+    implementation so driver numbers stay comparable round-over-round."""
     import jax.numpy as jnp
 
+    from binius_tpu.hash import groestl_pallas
     from binius_tpu.hash.groestl_bitslice import leaf_hash_kernel
 
     log_leaves, log_coset = 16, 2
@@ -93,13 +96,50 @@ def bench_groestl_leaf_hash():
     rng = np.random.default_rng(3)
     x = jax.device_put(rng.integers(0, 2**32, size=(n, 4), dtype=np.uint32))
 
-    @jax.jit
-    def step(x):
-        d = leaf_hash_kernel(x, log_coset, 16 << log_coset).reshape(-1, 4)
-        return jnp.concatenate([x[:d.shape[0]] ^ d, x[d.shape[0]:]], axis=0)
+    def make_step(kern):
+        @jax.jit
+        def step(x):
+            d = kern(x, log_coset, 16 << log_coset).reshape(-1, 4)
+            return jnp.concatenate([x[:d.shape[0]] ^ d, x[d.shape[0]:]], axis=0)
+        return step
 
-    dt = timeit(step, x, iters=10)
-    return (n * 16) / dt / 1e6
+    xla = (n * 16) / timeit(make_step(leaf_hash_kernel), x, iters=10) / 1e6
+    pallas = None
+    if groestl_pallas.wants_dispatch(n >> log_coset):
+        pallas = (n * 16) / timeit(
+            make_step(groestl_pallas.leaf_hash_kernel), x, iters=10) / 1e6
+    return xla, pallas
+
+
+def bench_commit_encode():
+    """Commit-pipeline encode throughput THROUGH the product path: message ->
+    RS codeword -> device Merkle root (rs_encode + commit_codeword, the exact
+    `piop.commit` hot loop). Melem/s over the 2^18 B128 message (codeword
+    2^19). The NTT-only number is `additive_ntt_b32_encode_throughput`; this
+    one includes the layout conversions and leaf hashing the prover really
+    pays (round-3 verdict #5: bitsliced residency accounting)."""
+    import jax.numpy as jnp
+
+    from binius_tpu.protocols import fri as fri_mod
+
+    log_dim, log_batch = 16, 2
+    params = fri_mod.FRIParams.choose_with_constant_fold_arity(
+        log_dim + log_batch, 100, 1, 4)
+    n = 1 << (log_dim + log_batch)
+    rng = np.random.default_rng(11)
+    msg = jax.device_put(
+        rng.integers(0, 2**32, size=(n, 4), dtype=np.uint32))
+
+    def step(m):
+        _, tree = fri_mod.fri_commit(params, m)
+        # chain: XOR the root back into the message so the relay cannot
+        # memoize, and the tree build is complete before timing stops
+        root = jnp.asarray(np.frombuffer(tree.root, dtype=np.uint32)
+                           .reshape(8, 1))
+        return m.at[:8, :1].set(m[:8, :1] ^ root)
+
+    dt = timeit(step, msg, iters=5)
+    return n / dt / 1e6
 
 
 def bench_prove(budget_s=900):
@@ -189,12 +229,19 @@ def main():
     ntt = bench_ntt()
     b128_xla, b128_pallas = bench_b128_mul()
     try:
-        groestl_mbps = bench_groestl_leaf_hash()
+        groestl_mbps, groestl_pallas_mbps = bench_groestl_leaf_hash()
     except Exception:
         import traceback
         print("bench_groestl_leaf_hash failed:", file=sys.stderr)
         traceback.print_exc()
-        groestl_mbps = None
+        groestl_mbps = groestl_pallas_mbps = None
+    try:
+        commit_encode = bench_commit_encode()
+    except Exception:
+        import traceback
+        print("bench_commit_encode failed:", file=sys.stderr)
+        traceback.print_exc()
+        commit_encode = None
     prove_ms = bench_prove()
     prev = _prev_round_value()
     print(json.dumps({
@@ -210,6 +257,11 @@ def main():
                 round(prove_ms, 1) if prove_ms is not None else None),
             "groestl_leaf_hash_MBps": (
                 round(groestl_mbps, 1) if groestl_mbps is not None else None),
+            "groestl_leaf_hash_pallas_MBps": (
+                round(groestl_pallas_mbps, 1)
+                if groestl_pallas_mbps is not None else None),
+            "commit_encode_Melem_s": (
+                round(commit_encode, 2) if commit_encode is not None else None),
         },
     }))
 

@@ -130,6 +130,12 @@ def commit_codeword_device(codeword, log_coset: int) -> "DeviceMerkleTree":
     from ..hash.groestl_bitslice import leaf_hash_kernel, pairs_kernel
 
     n_leaves = int(codeword.shape[0]) >> log_coset
+    from ..hash import groestl_pallas
+    if groestl_pallas.wants_dispatch(n_leaves):
+        # fused-VMEM network: every permutation gate stays on-chip instead
+        # of round-tripping HBM between XLA fusions
+        leaf_hash_kernel = groestl_pallas.leaf_hash_kernel
+        pairs_kernel = groestl_pallas.pairs_kernel
     blob_len = int(codeword.shape[0] * np.prod(codeword.shape[1:]) * 4
                    // max(n_leaves, 1))
     n_dev = max(0, (n_leaves.bit_length() - 1)
