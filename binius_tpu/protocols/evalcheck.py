@@ -304,6 +304,10 @@ class _Walker:
                 eq_points.append(list(e.claim.point))
 
         if self.is_prover:
+            import os
+            import time as _time
+            trace2 = os.environ.get("BINIUS_TRACE_PHASES", "") == "2"
+            t_setup = _time.perf_counter()
             provers = []
             i = 0
             while i < len(specs):
@@ -329,7 +333,17 @@ class _Walker:
                         claims[i], mls, order_high=False,
                         eq_ind_challenges=tuple(e.claim.point)))
                     i += 1
+            if trace2:
+                print(f"    [wave] setup {len(provers)} provers"
+                      f" ({sum(1 for s in specs if s[0] != 'composite')} sh/pk):"
+                      f" {( _time.perf_counter() - t_setup) * 1e3:.1f} ms",
+                      flush=True)
+                t_setup = _time.perf_counter()
             out = sc_prove.batch_prove(provers, self.transcript)
+            if trace2:
+                print(f"    [wave] batch_prove ({claims[0].n_vars if claims else 0}"
+                      f" rounds): {(_time.perf_counter() - t_setup) * 1e3:.1f} ms",
+                      flush=True)
             ml_evals = out.multilinear_evals
             challenges = out.challenges
         else:

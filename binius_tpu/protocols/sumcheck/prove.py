@@ -773,6 +773,10 @@ def batch_prove(provers: list, transcript) -> BatchSumcheckOutput:
     entry per claim, making the transcript identical to separate provers.
     """
     assert all(provers[i].n_vars >= provers[i + 1].n_vars for i in range(len(provers) - 1))
+    import os
+    import time as _time
+    trace2 = os.environ.get("BINIUS_TRACE_PHASES", "") == "2"
+    t_eval = t_mix = t_fold = 0.0
     n_rounds = provers[0].n_vars if provers else 0
     batch_coeffs: list[int] = []
     coeff_start: list[int] = []  # per prover, index of its first batch coeff
@@ -791,7 +795,10 @@ def batch_prove(provers: list, transcript) -> BatchSumcheckOutput:
             next_idx += 1
         combined: list[int] = []
         for pi, p in enumerate(provers[:next_idx]):
+            t0 = _time.perf_counter()
             polys = p.compute_round_polys()
+            t_eval += _time.perf_counter() - t0
+            t0 = _time.perf_counter()
             if getattr(p, "multi_claim", False):
                 n_claims = p.n_claims
                 assert len(polys) == n_claims
@@ -802,12 +809,19 @@ def batch_prove(provers: list, transcript) -> BatchSumcheckOutput:
                 phi = batch_coeffs[coeff_start[pi]]
                 for coeffs in polys:
                     combined = common.add_coeffs(combined, common.scale_coeffs(coeffs, phi))
+            t_mix += _time.perf_counter() - t0
         proof_coeffs = common.truncate(combined)
         transcript.message().write_scalars(LEVEL, proof_coeffs)
         challenge = transcript.sample_scalar(LEVEL)
         challenges.append(challenge)
+        t0 = _time.perf_counter()
         for p in provers[:next_idx]:
             p.fold(challenge)
+        t_fold += _time.perf_counter() - t0
+    if trace2 and n_rounds:
+        print(f"    [batch_prove] {len(provers)} provers x {n_rounds} rounds:"
+              f" eval+fetch {t_eval*1e3:.1f} / host-mix {t_mix*1e3:.1f}"
+              f" / fold {t_fold*1e3:.1f} ms", flush=True)
     # 0-var claims activate after all rounds
     while next_idx < len(provers) and provers[next_idx].n_vars == 0:
         _activate(next_idx)

@@ -17,7 +17,7 @@ run() {
 }
 
 run k6_grouped_retry env BINIUS_BATCH_ROUND_KERNELS=1 BINIUS_GROUP_CLAIMS=1 \
-    timeout 14400 python scripts/keccak_tpu_timing.py 6
+    BINIUS_TRACE_PHASES=2 timeout 14400 python scripts/keccak_tpu_timing.py 6
 run u32_add_2e22 timeout 10800 python examples/u32_add.py --log-n-adds 22
 run b32_mul_2e20 timeout 10800 python examples/b32_mul.py --log-n-muls 20
 run groestl_2e14 timeout 14400 python examples/groestl.py --log-n-permutations 14
