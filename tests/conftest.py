@@ -62,3 +62,36 @@ jax.config.update("jax_traceback_filtering", "off")
 # features and crash on reload). Cuts suite time massively — the prover is
 # XLA-compile-bound on this 4-vCPU box (uzc: 221s cold vs 9s warm).
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+# ---------------------------------------------------------------------------
+# Quick signal tier: `pytest -m quick` runs the cheap, compile-light modules
+# (a few minutes even on a fresh container) so a cold box is not an hour away
+# from its first green/red signal. The full suite is XLA-compile-bound
+# (~10-22 min warm persistent cache, ~60+ min cold).
+# ---------------------------------------------------------------------------
+
+_QUICK_MODULES = {
+    "test_fields",
+    "test_math",
+    "test_serialization",
+    "test_canonical_serialization",
+    "test_hash_transcript",
+    "test_golden_transcript",
+    "test_isomorphism",
+    "test_tracing",
+    "test_emulate_stat",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "quick: fast compile-light signal tier (run first on a fresh container)")
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    for item in items:
+        if item.module.__name__ in _QUICK_MODULES:
+            item.add_marker(pytest.mark.quick)
