@@ -326,21 +326,55 @@ def _leaf_msg5(cw_u32, log_coset: int, blob_len: int):
     return msg.reshape(8, n_blocks, 8, 8, W), n_blocks
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _leaf_hash_jit(cw_u32, log_coset: int, blob_len: int):
+    """End-to-end jit: byteplane prep + pallas network + digest packing in
+    ONE dispatch. The un-jitted wrapper ran the layout glue as ~10 eager ops
+    per call — ~100 ms of relay latency per Merkle level over the axon
+    tunnel, 20x the kernel time (round-4 commit_encode regression)."""
+    msg5, n_blocks = _leaf_msg5(cw_u32, log_coset, blob_len)
+    return _digest_from_state(_leaf_call_impl(msg5, n_blocks, False))
+
+
 def leaf_hash_kernel(cw_u32, log_coset: int, blob_len: int, interpret=False):
     """Drop-in for `groestl_bitslice.leaf_hash_kernel` through the fused
     Pallas network: (N_elems, limbs) uint32 -> (n_leaves, 8) digests."""
-    msg5, n_blocks = _leaf_msg5(cw_u32, log_coset, blob_len)
-    return _digest_from_state(_leaf_call(msg5, n_blocks, interpret))
+    if interpret:
+        msg5, n_blocks = _leaf_msg5(cw_u32, log_coset, blob_len)
+        return _digest_from_state(_leaf_call(msg5, n_blocks, True))
+    return _leaf_hash_jit(cw_u32, log_coset, blob_len)
 
 
-def pairs_kernel(digests_u32, interpret=False):
-    """Drop-in for `groestl_bitslice.pairs_kernel` (one Merkle level)."""
+def _pairs_body(digests_u32, interpret: bool):
     from .groestl_bitslice import words_to_byteplanes
     n = digests_u32.shape[0] // 2
     w = digests_u32.reshape(n, 16)
     planes = words_to_byteplanes(w)  # [8, 64, W]
     planes5 = planes.reshape(8, 1, 8, 8, planes.shape[-1])
-    return _digest_from_state(_pairs_call(planes5, interpret))
+    return _digest_from_state(_pairs_call_impl(planes5, interpret))
+
+
+_pairs_jit = jax.jit(functools.partial(_pairs_body, interpret=False))
+
+
+def pairs_kernel(digests_u32, interpret=False):
+    """Drop-in for `groestl_bitslice.pairs_kernel` (one Merkle level)."""
+    if interpret:
+        return _pairs_body(digests_u32, True)
+    return _pairs_jit(digests_u32)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def tree_levels(cw_u32, log_coset: int, blob_len: int, n_dev: int):
+    """Whole device Merkle build in ONE dispatch: leaf digests plus `n_dev`
+    2-to-1 reduction levels, returned leaf-up. The XLA module is only layout
+    glue around the opaque pallas calls, so fusing the chain costs little
+    compile time but removes a per-level relay round-trip (~10 ms each)."""
+    msg5, n_blocks = _leaf_msg5(cw_u32, log_coset, blob_len)
+    outs = [_digest_from_state(_leaf_call_impl(msg5, n_blocks, False))]
+    for _ in range(n_dev):
+        outs.append(_pairs_body(outs[-1], False))
+    return tuple(outs)
 
 
 # ---------------------------------------------------------------------------

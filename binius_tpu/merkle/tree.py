@@ -131,19 +131,19 @@ def commit_codeword_device(codeword, log_coset: int) -> "DeviceMerkleTree":
 
     n_leaves = int(codeword.shape[0]) >> log_coset
     from ..hash import groestl_pallas
-    if groestl_pallas.wants_dispatch(n_leaves):
-        # fused-VMEM network: every permutation gate stays on-chip instead
-        # of round-tripping HBM between XLA fusions
-        leaf_hash_kernel = groestl_pallas.leaf_hash_kernel
-        pairs_kernel = groestl_pallas.pairs_kernel
     blob_len = int(codeword.shape[0] * np.prod(codeword.shape[1:]) * 4
                    // max(n_leaves, 1))
     n_dev = max(0, (n_leaves.bit_length() - 1)
                 - (_MIN_DEVICE_ROWS.bit_length() - 1))
     cw = codeword.reshape(codeword.shape[0], -1)
-    outs = [leaf_hash_kernel(cw, log_coset, blob_len)]
-    for _ in range(n_dev):
-        outs.append(pairs_kernel(outs[-1]))
+    if groestl_pallas.wants_dispatch(n_leaves):
+        # fused-VMEM network, whole chain in ONE dispatch: every permutation
+        # gate stays on-chip and no per-level relay round-trips
+        outs = list(groestl_pallas.tree_levels(cw, log_coset, blob_len, n_dev))
+    else:
+        outs = [leaf_hash_kernel(cw, log_coset, blob_len)]
+        for _ in range(n_dev):
+            outs.append(pairs_kernel(outs[-1]))
     top = MerkleTree.build(_digests_to_np(outs[-1]))
     return DeviceMerkleTree(outs[:-1], top)
 
