@@ -183,11 +183,14 @@ def bench_prove(budget_s=900):
         witness = wi.to_core_witness(core, omap)
 
         csp.prove(core, witness, log_inv_rate=1)  # warm the kernels
-        t0 = time.perf_counter()
-        proof = csp.prove(core, witness, log_inv_rate=1)
-        dt = time.perf_counter() - t0
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            proof = csp.prove(core, witness, log_inv_rate=1)
+            times.append(time.perf_counter() - t0)
         csp.verify(core, proof, log_inv_rate=1)
-        return dt * 1e3
+        # median of 3: single-run numbers swing ~2x on relay latency variance
+        return sorted(times)[1] * 1e3
     except BaseException:
         # A null metric must never be mute (round-3 verdict weak #2): the
         # driver tail is the only record of WHY a bench value regressed.
