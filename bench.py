@@ -31,17 +31,22 @@ jax.config.update("jax_compilation_cache_dir", _binius_cache_dir("tpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
-def timeit(fn, x, iters):
+def timeit(fn, x, iters, windows=3):
     """Warm + time fn by chaining the output back as input (fresh args per
     dispatch defeats the relay's memoization); a host fetch of one element
-    forces completion (block_until_ready is unreliable over the tunnel)."""
+    forces completion (block_until_ready is unreliable over the tunnel).
+    Median over `windows` timed windows of `iters` each — single windows
+    swing ~2x on relay latency variance (round-4 verdict weak #3)."""
     out = fn(x)
     np.asarray(jax.device_get(out.reshape(-1)[:1]))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(out)
-    np.asarray(jax.device_get(out.reshape(-1)[:1]))
-    return (time.perf_counter() - t0) / iters
+    per_iter = []
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(out)
+        np.asarray(jax.device_get(out.reshape(-1)[:1]))
+        per_iter.append((time.perf_counter() - t0) / iters)
+    return sorted(per_iter)[len(per_iter) // 2]
 
 
 def bench_ntt():
@@ -173,20 +178,26 @@ def bench_prove(budget_s=900):
         core, omap = m3.compile([log_n])
 
         rng = random.Random(3)
-        wi = WitnessIndex(m3, [log_n])
-        tw = wi.table(0)
-        xs = [rng.getrandbits(32) for _ in range(n)]
-        ys = [rng.getrandbits(32) for _ in range(n)]
-        tw.set_packed_ints(xin, xs)
-        tw.set_packed_ints(yin, ys)
-        adder.populate(tw, xs, ys)
-        witness = wi.to_core_witness(core, omap)
 
-        csp.prove(core, witness, log_inv_rate=1)  # warm the kernels
+        def make_witness():
+            wi = WitnessIndex(m3, [log_n])
+            tw = wi.table(0)
+            xs = [rng.getrandbits(32) for _ in range(n)]
+            ys = [rng.getrandbits(32) for _ in range(n)]
+            tw.set_packed_ints(xin, xs)
+            tw.set_packed_ints(yin, ys)
+            adder.populate(tw, xs, ys)
+            return wi.to_core_witness(core, omap)
+
+        # Distinct witnesses per timed run: identical prove args would let
+        # the relay memoize the repeated dispatches and under-report
+        # (ADVICE r04; same reason timeit chains its outputs).
+        witnesses = [make_witness() for _ in range(4)]
+        csp.prove(core, witnesses[0], log_inv_rate=1)  # warm the kernels
         times = []
-        for _ in range(3):
+        for w in witnesses[1:]:
             t0 = time.perf_counter()
-            proof = csp.prove(core, witness, log_inv_rate=1)
+            proof = csp.prove(core, w, log_inv_rate=1)
             times.append(time.perf_counter() - t0)
         csp.verify(core, proof, log_inv_rate=1)
         # median of 3: single-run numbers swing ~2x on relay latency variance

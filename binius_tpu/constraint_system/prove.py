@@ -243,7 +243,8 @@ def _gpa_instances(system: ConstraintSystem, flush_oracles):
 
 
 def prove(system: ConstraintSystem, witness: dict, boundaries: list = (),
-          log_inv_rate: int = 1, table_sizes: list = None, mesh=None) -> bytes:
+          log_inv_rate: int = 1, table_sizes: list = None, mesh=None,
+          group_claims: bool = None, min_shard_elems: int = None) -> bytes:
     """witness: oracle id -> (level, device data) for committed and virtual
     oracles (prover materializes virtual columns during witness generation).
 
@@ -256,7 +257,15 @@ def prove(system: ConstraintSystem, witness: dict, boundaries: list = (),
     kernels — commit NTT, zerocheck round evals, folds, FRI folds — run SPMD
     under GSPMD with collectives on the mesh axis. Field ops are exact, so
     proof bytes are identical with and without a mesh
-    (tests/test_sharding.py)."""
+    (tests/test_sharding.py).
+
+    group_claims: force the same-structure zerocheck claim-grouping regime
+    on/off (None = BINIUS_GROUP_CLAIMS env, then platform default). This is
+    the reference's NTTOptions/ThreadingSettings analog: a per-call dispatch
+    regime override (`ntt/src/dynamic_dispatch.rs:56`).
+
+    min_shard_elems: columns with fewer elements than this replicate instead
+    of sharding under `mesh` (None = parallel.mesh.MIN_SHARD_ELEMS)."""
     timer = _PhaseTimer("prove")
     transcript = ProverTranscript()
     transcript.observe().write_bytes(system.digest())
@@ -272,7 +281,10 @@ def prove(system: ConstraintSystem, witness: dict, boundaries: list = (),
                               system.non_zero_claims, system.exponents)
     witness = dict(witness)
     if mesh is not None:
-        witness = {oid: (lvl, mesh_mod.put_row_sharded(mesh, lvl, data))
+        min_elems = (mesh_mod.MIN_SHARD_ELEMS if min_shard_elems is None
+                     else min_shard_elems)
+        witness = {oid: (lvl, mesh_mod.put_row_sharded(mesh, lvl, data,
+                                                       min_elems=min_elems))
                    for oid, (lvl, data) in witness.items()}
 
     # --- commit phase ---
@@ -335,7 +347,8 @@ def prove(system: ConstraintSystem, witness: dict, boundaries: list = (),
     if skip > 0:
         sets, claims = _zerocheck_claims(system, ascending=True)
         mls_per_claim = [[witness[oid] for oid in s.oracle_ids] for s in sets]
-        zc_out = uzc.batch_prove(claims, mls_per_claim, transcript, skip)
+        zc_out = uzc.batch_prove(claims, mls_per_claim, transcript, skip,
+                                 group_claims=group_claims)
         ec_claims = [evalcheck.EvalcheckClaim(oid, tuple(pt), ev)
                      for s, evs, pt in zip(sets, zc_out.multilinear_evals,
                                            zc_out.eval_points)

@@ -259,17 +259,6 @@ def _leaf_call_impl(msg5, n_blocks: int, interpret: bool):
     return _deinterleave_state(out, wt, W)
 
 
-# jit the real path; interpret mode runs EAGERLY — wrapping the interpret
-# graph in jit hands XLA:CPU a ~10k-op module that takes >90 min to compile
-_leaf_call_jit = jax.jit(_leaf_call_impl, static_argnums=(1, 2))
-
-
-def _leaf_call(msg5, n_blocks: int, interpret: bool):
-    if interpret:
-        return _leaf_call_impl(msg5, n_blocks, True)
-    return _leaf_call_jit(msg5, n_blocks, False)
-
-
 def _pairs_call_impl(planes5, interpret: bool):
     W = planes5.shape[-1]
     wt = _lane_tile(W)
@@ -284,15 +273,6 @@ def _pairs_call_impl(planes5, interpret: bool):
         interpret=interpret,
     )(m_rows)
     return _deinterleave_state(out, wt, W)
-
-
-_pairs_call_jit = jax.jit(_pairs_call_impl, static_argnums=(1,))
-
-
-def _pairs_call(planes5, interpret: bool):
-    if interpret:
-        return _pairs_call_impl(planes5, True)
-    return _pairs_call_jit(planes5, False)
 
 
 def _digest_from_state(x):
@@ -340,8 +320,10 @@ def leaf_hash_kernel(cw_u32, log_coset: int, blob_len: int, interpret=False):
     """Drop-in for `groestl_bitslice.leaf_hash_kernel` through the fused
     Pallas network: (N_elems, limbs) uint32 -> (n_leaves, 8) digests."""
     if interpret:
+        # interpret mode runs EAGERLY — wrapping the interpret graph in jit
+        # hands XLA:CPU a ~10k-op module that takes >90 min to compile
         msg5, n_blocks = _leaf_msg5(cw_u32, log_coset, blob_len)
-        return _digest_from_state(_leaf_call(msg5, n_blocks, True))
+        return _digest_from_state(_leaf_call_impl(msg5, n_blocks, True))
     return _leaf_hash_jit(cw_u32, log_coset, blob_len)
 
 

@@ -46,7 +46,7 @@ class U32Add:
                       group=group)
         return U32Add(xin, yin, zout, cout, cin)
 
-    def populate(self, tw, x_rows, y_rows) -> list:
+    def populate(self, tw, x_rows, y_rows) -> "np.ndarray":
         """Fill witness columns from per-row u32 inputs; returns z values.
         Vectorized: carry-in word = (x+y) ^ x ^ y, carry-out = carry-in >> 1
         with the bit-32 overflow landing at position 31."""
@@ -87,7 +87,7 @@ class U32Sub:
         t.assert_zero(f"{name}.diff", [xin, yin, bin_, zout, bout], x + y + bi + z)
         return U32Sub(xin, yin, zout, bout, bin_)
 
-    def populate(self, tw, x_rows, y_rows) -> list:
+    def populate(self, tw, x_rows, y_rows) -> "np.ndarray":
         """Vectorized borrow chain: borrow-in word = x ^ y ^ (x-y), borrow-out
         = borrow-in >> 1 with the overall borrow (x < y) at position 31."""
         import numpy as np

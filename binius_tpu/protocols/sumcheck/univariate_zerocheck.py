@@ -69,12 +69,15 @@ def _max_degree(zc: ZerocheckClaim) -> int:
     return max((c.degree() for c in zc.compositions), default=0)
 
 
-def _group_claims() -> bool:
+def _group_claims(override: bool | None = None) -> bool:
     """Same-structure claim grouping gate. Defaults to the round-kernel
-    batching gate (TPU on, CPU off); BINIUS_GROUP_CLAIMS=0/1 overrides
-    independently so the two dispatch regimes can be measured separately
-    (the grouped kernels are new shapes — their first remote-TPU compile is
-    expensive and worth isolating)."""
+    batching gate (TPU on, CPU off); `override` (plumbed from
+    `csp.prove(..., group_claims=...)`) wins, then BINIUS_GROUP_CLAIMS=0/1 —
+    the two dispatch regimes can be measured separately (the grouped kernels
+    are new shapes — their first remote-TPU compile is expensive and worth
+    isolating)."""
+    if override is not None:
+        return override
     env = os.environ.get("BINIUS_GROUP_CLAIMS", "")
     if env != "":
         return env not in ("0",)
@@ -315,10 +318,12 @@ def _reduction_composites(n_total: int, sums: list[int]):
 
 
 def batch_prove(zc_claims: list[ZerocheckClaim], mls_per_claim: list,
-                transcript, skip_rounds: int) -> BatchZerocheckOutput:
+                transcript, skip_rounds: int,
+                group_claims: bool | None = None) -> BatchZerocheckOutput:
     """Claims must be sorted ASCENDING by n_vars; skip_rounds <= max n_vars
     (smaller claims high-pad). Writes the three reduction stages to
-    `transcript`."""
+    `transcript`. `group_claims` overrides the grouping gate (None = env /
+    platform default)."""
     assert zc_claims
     assert all(zc_claims[i].n_vars <= zc_claims[i + 1].n_vars
                for i in range(len(zc_claims) - 1))
@@ -408,7 +413,7 @@ def batch_prove(zc_claims: list[ZerocheckClaim], mls_per_claim: list,
     # huge dispatch win on TPU (24 keccak claims: 2 relay round-trips per
     # round instead of 48) but it inherits the XLA:CPU compile blowup of
     # batched round kernels (~4 min for the keccak 25-composition graph).
-    group_ok = _group_claims()
+    group_ok = _group_claims(group_claims)
     s2_provers = []
     i = 0
     while i < len(zc_claims):

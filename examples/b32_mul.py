@@ -36,6 +36,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--log-n-muls", type=int, default=8)
     ap.add_argument("--log-inv-rate", type=int, default=1)
+    ap.add_argument("--repeat", type=int, default=1,
+                    help="prove this many FRESH witnesses (run 1 pays compile"
+                         "/cache loads; later runs are the honest warm number)")
     args = ap.parse_args()
 
     from binius_tpu.constraint_system import oracle as om
@@ -57,21 +60,31 @@ def main():
     system = ConstraintSystem(
         oracles, [ConstraintSet(n_vars, (a_id, b_id, c_id), (A * B + C,))])
 
+    def make_witness(seed):
+        rng = np.random.default_rng(seed)
+        A = tower.from_numpy(5, rng.integers(0, 1 << 32, size=n, dtype=np.uint32))
+        B = tower.from_numpy(5, rng.integers(0, 1 << 32, size=n, dtype=np.uint32))
+        C = tower.mul(5, A, B)  # product witness computed on device
+        return {a_id: (5, A), b_id: (5, B), c_id: (5, C)}
+
     t0 = time.perf_counter()
-    rng = np.random.default_rng(0)
-    A = tower.from_numpy(5, rng.integers(0, 1 << 32, size=n, dtype=np.uint32))
-    B = tower.from_numpy(5, rng.integers(0, 1 << 32, size=n, dtype=np.uint32))
-    C = tower.mul(5, A, B)  # product witness computed on device
-    witness = {a_id: (5, A), b_id: (5, B), c_id: (5, C)}
+    witness = make_witness(0)
     t1 = time.perf_counter()
     print(f"trace-gen-time: {(t1 - t0) * 1e3:.1f} ms")
 
     validate_witness(system, witness)
-    t2 = time.perf_counter()
-    proof = csp.prove(system, witness, log_inv_rate=args.log_inv_rate)
-    t3 = time.perf_counter()
-    print(f"prove-time: {(t3 - t2) * 1e3:.1f} ms")
+    for i in range(args.repeat):
+        if i > 0:
+            witness = make_witness(i)
+        t2 = time.perf_counter()
+        proof = csp.prove(system, witness, log_inv_rate=args.log_inv_rate)
+        t3 = time.perf_counter()
+        tag = "" if args.repeat == 1 else f"[{'first' if i == 0 else 'warm'}]"
+        print(f"prove-time{tag}: {(t3 - t2) * 1e3:.1f} ms")
+        for k, v in csp.last_phase_times.items():
+            print(f"  prove.{k}: {v * 1e3:.1f} ms")
     print(f"proof-size: {len(proof)} bytes")
+    t3 = time.perf_counter()
     csp.verify(system, proof, log_inv_rate=args.log_inv_rate)
     t4 = time.perf_counter()
     print(f"verify-time: {(t4 - t3) * 1e3:.1f} ms")

@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--log-n-permutations", type=int, default=3)
     ap.add_argument("--log-inv-rate", type=int, default=1)
     ap.add_argument("--skip-prove", action="store_true")
+    ap.add_argument("--repeat", type=int, default=1,
+                    help="prove this many FRESH witnesses (run 1 pays compile"
+                         "/cache loads; later runs are the honest warm number)")
     args = ap.parse_args()
 
     from binius_tpu.constraint_system import prove as csp
@@ -57,14 +60,17 @@ def main():
     g = Permutation.build(t, "perm", "P")
     core, omap = m3.compile([args.log_n_permutations])
 
+    def make_witness(rng):
+        wi = WitnessIndex(m3, [args.log_n_permutations])
+        states = [np.array([[rng.getrandbits(8) for _ in range(8)]
+                            for _ in range(8)], dtype=np.uint8) for _ in range(n)]
+        outs = g.populate(wi.table(0), states)
+        assert np.array_equal(np.array(outs[0], dtype=np.uint8),
+                              _permute(states[0], is_q=False))
+        return wi.to_core_witness(core, omap)
+
     t0 = time.perf_counter()
-    wi = WitnessIndex(m3, [args.log_n_permutations])
-    states = [np.array([[random.getrandbits(8) for _ in range(8)]
-                        for _ in range(8)], dtype=np.uint8) for _ in range(n)]
-    outs = g.populate(wi.table(0), states)
-    assert np.array_equal(np.array(outs[0], dtype=np.uint8),
-                          _permute(states[0], is_q=False))
-    witness = wi.to_core_witness(core, omap)
+    witness = make_witness(random)
     t1 = time.perf_counter()
     print(f"trace-gen-time: {(t1 - t0) * 1e3:.1f} ms")
 
@@ -73,12 +79,18 @@ def main():
     print(f"validate-time: {(t2 - t1) * 1e3:.1f} ms")
     if args.skip_prove:
         return
-    proof = csp.prove(core, witness, log_inv_rate=args.log_inv_rate)
-    t3 = time.perf_counter()
-    print(f"prove-time: {(t3 - t2) * 1e3:.1f} ms")
-    for k, v in csp.last_phase_times.items():
-        print(f"  prove.{k}: {v * 1e3:.1f} ms")
+    for i in range(args.repeat):
+        if i > 0:
+            witness = make_witness(random)
+        t2 = time.perf_counter()
+        proof = csp.prove(core, witness, log_inv_rate=args.log_inv_rate)
+        t3 = time.perf_counter()
+        tag = "" if args.repeat == 1 else f"[{'first' if i == 0 else 'warm'}]"
+        print(f"prove-time{tag}: {(t3 - t2) * 1e3:.1f} ms")
+        for k, v in csp.last_phase_times.items():
+            print(f"  prove.{k}: {v * 1e3:.1f} ms")
     print(f"proof-size: {len(proof)} bytes")
+    t3 = time.perf_counter()
     csp.verify(core, proof, log_inv_rate=args.log_inv_rate)
     t4 = time.perf_counter()
     print(f"verify-time: {(t4 - t3) * 1e3:.1f} ms")

@@ -35,6 +35,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--log-n-adds", type=int, default=5)
     ap.add_argument("--log-inv-rate", type=int, default=1)
+    ap.add_argument("--repeat", type=int, default=1,
+                    help="prove this many FRESH witnesses (run 1 pays compile"
+                         "/cache loads; later runs are the honest warm number"
+                         " — identical args would let the relay memoize)")
     args = ap.parse_args()
 
     from binius_tpu.constraint_system import prove as csp
@@ -53,26 +57,37 @@ def main():
     adder = arith.U32Add.build(t, "add", xin, yin)
     core, omap = m3.compile([args.log_n_adds])
 
-    t0 = time.perf_counter()
-    wi = WitnessIndex(m3, [args.log_n_adds])
-    tw = wi.table(0)
     import numpy as np
-    rng = np.random.default_rng(0)
-    xs = rng.integers(0, 1 << 32, size=n, dtype=np.uint64)
-    ys = rng.integers(0, 1 << 32, size=n, dtype=np.uint64)
-    tw.set_packed_ints(xin, xs)
-    tw.set_packed_ints(yin, ys)
-    adder.populate(tw, xs, ys)
-    witness = wi.to_core_witness(core, omap)
+
+    def make_witness(seed):
+        wi = WitnessIndex(m3, [args.log_n_adds])
+        tw = wi.table(0)
+        rng = np.random.default_rng(seed)
+        xs = rng.integers(0, 1 << 32, size=n, dtype=np.uint64)
+        ys = rng.integers(0, 1 << 32, size=n, dtype=np.uint64)
+        tw.set_packed_ints(xin, xs)
+        tw.set_packed_ints(yin, ys)
+        adder.populate(tw, xs, ys)
+        return wi.to_core_witness(core, omap)
+
+    t0 = time.perf_counter()
+    witness = make_witness(0)
     t1 = time.perf_counter()
     print(f"trace-gen-time: {(t1 - t0) * 1e3:.1f} ms")
 
     validate_witness(core, witness)
-    t2 = time.perf_counter()
-    proof = csp.prove(core, witness, log_inv_rate=args.log_inv_rate)
-    t3 = time.perf_counter()
-    print(f"prove-time: {(t3 - t2) * 1e3:.1f} ms")
+    for i in range(args.repeat):
+        if i > 0:
+            witness = make_witness(i)
+        t2 = time.perf_counter()
+        proof = csp.prove(core, witness, log_inv_rate=args.log_inv_rate)
+        t3 = time.perf_counter()
+        tag = "" if args.repeat == 1 else f"[{'first' if i == 0 else 'warm'}]"
+        print(f"prove-time{tag}: {(t3 - t2) * 1e3:.1f} ms")
+        for k, v in csp.last_phase_times.items():
+            print(f"  prove.{k}: {v * 1e3:.1f} ms")
     print(f"proof-size: {len(proof)} bytes")
+    t3 = time.perf_counter()
     csp.verify(core, proof, log_inv_rate=args.log_inv_rate)
     t4 = time.perf_counter()
     print(f"verify-time: {(t4 - t3) * 1e3:.1f} ms")

@@ -42,15 +42,25 @@ state_in = [t.add_committed(f"in{i}", 0, 6) for i in range(25)]
 gadget = KeccakF.build(t, "kf", state_in)
 core, omap = m3.compile([LOG_N])
 
-t0 = time.perf_counter()
-wi = WitnessIndex(m3, [LOG_N])
-tw = wi.table(0)
-rows = [[random.getrandbits(64) for _ in range(25)] for _ in range(n)]
-gadget.populate(tw, rows)
-witness = wi.to_core_witness(core, omap)
-print(f"trace-gen {time.perf_counter()-t0:.1f}s", flush=True)
+def make_witness(seed):
+    rng = random.Random(seed)
+    wi = WitnessIndex(m3, [LOG_N])
+    tw = wi.table(0)
+    rows = [[rng.getrandbits(64) for _ in range(25)] for _ in range(n)]
+    gadget.populate(tw, rows)
+    return wi.to_core_witness(core, omap)
 
-for tag in ("first(incl. cache loads + tracing)", "warm"):
+
+t0 = time.perf_counter()
+witnesses = [make_witness(s) for s in (0, 1)]
+print(f"trace-gen x2 {time.perf_counter()-t0:.1f}s", flush=True)
+
+# Distinct witnesses per prove: the axon relay memoizes identical dispatches,
+# and a repeat prove of the SAME witness is fully deterministic (same
+# transcript, same challenges) — its dispatches could be served from the
+# memo and under-report the warm time (ADVICE r04).
+for tag, witness in zip(("first(incl. cache loads + tracing)", "warm"),
+                        witnesses):
     t0 = time.perf_counter()
     proof = csp.prove(core, witness, log_inv_rate=1)
     print(f"prove[{tag}] {time.perf_counter()-t0:.1f}s  "

@@ -27,7 +27,7 @@ def build_u32add_m3(log_rows=2):
     tw.set_packed_ints(xin, xs)
     tw.set_packed_ints(yin, ys)
     zs = adder.populate(tw, xs, ys)
-    assert zs == [(x + y) & 0xFFFFFFFF for x, y in zip(xs, ys)]
+    assert list(map(int, zs)) == [(x + y) & 0xFFFFFFFF for x, y in zip(xs, ys)]
     witness = wi.to_core_witness(core, omap)
     return core, witness
 
@@ -55,7 +55,7 @@ def test_m3_sub_and_bitwise():
     tw.set_packed_ints(xin, xs)
     tw.set_packed_ints(yin, ys)
     zs = sub.populate(tw, xs, ys)
-    assert zs == [(x - y) & 0xFFFFFFFF for x, y in zip(xs, ys)]
+    assert list(map(int, zs)) == [(x - y) & 0xFFFFFFFF for x, y in zip(xs, ys)]
     tw.set_packed_ints(and_out, [x & y for x, y in zip(xs, ys)])
     tw.set_packed_ints(xor_out, [x ^ y for x, y in zip(xs, ys)])
     tw.set_packed_ints(or_out, [x | y for x, y in zip(xs, ys)])

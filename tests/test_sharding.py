@@ -7,6 +7,8 @@ import numpy as np
 import pytest
 
 from binius_tpu.fields import scalar, tower
+from binius_tpu.m3.instances import grouped_lookup_exp_instance as \
+    _grouped_lookup_exp_instance  # shared with __graft_entry__.dryrun_multichip
 from binius_tpu.parallel import sharding
 
 random.seed(131)
@@ -178,55 +180,6 @@ def test_sharded_ntt_matches_single_device():
         m = ntt._sharded(sharded, (log_x, log_y, 0))
         assert m is not None, "sharded dispatch did not engage"
         np.testing.assert_array_equal(want, np.asarray(got))
-
-
-def _grouped_lookup_exp_instance():
-    """A keccak-CLASS structure in miniature: indexed lookups (channels +
-    LookupProducer), GKR exponentiation (MulUU32), and TWO same-structure
-    u32_add tables whose stage-2 zerocheck claims prove GROUPED."""
-    from binius_tpu.m3.builder.table import M3ConstraintSystem
-    from binius_tpu.m3.builder.witness import WitnessIndex
-    from binius_tpu.m3.gadgets import arith
-    from binius_tpu.m3.gadgets.indexed_lookup import IncrLookup, IncrLooker
-    from binius_tpu.m3.gadgets.mul import MulUU32
-
-    rng = random.Random(17)
-    m3 = M3ConstraintSystem()
-    lookup_chan = m3.add_channel()
-    perm_chan = m3.add_channel()
-    t_lut = m3.add_table("incr_lookup")
-    lut = IncrLookup.build(t_lut, lookup_chan, perm_chan, 4)
-    t_look = m3.add_table("lookers")
-    looker = IncrLooker.build(t_look, "incr", lookup_chan)
-    adders = []
-    for name in ("add_a", "add_b"):
-        t = m3.add_table(name)
-        xin = t.add_committed("xin", 0, arith.LOG_U32)
-        yin = t.add_committed("yin", 0, arith.LOG_U32)
-        adders.append((xin, yin, arith.U32Add.build(t, "add", xin, yin)))
-    t_mul = m3.add_table("mul_exp")
-    gm = MulUU32.build(t_mul, "mul")
-
-    log_sizes = [9, 3, 5, 5, 2]
-    core, omap = m3.compile(log_sizes)
-    wi = WitnessIndex(m3, log_sizes)
-    events = [(rng.getrandbits(8), rng.getrandbits(1)) for _ in range(1 << 3)]
-    looker.populate(wi.table(1), events)
-    counts = [0] * 512
-    for i, c in events:
-        counts[(c << 8) | i] += 1
-    lut.populate(wi.table(0), sorted(enumerate(counts), key=lambda ic: -ic[1]))
-    for ti, (xin, yin, adder) in enumerate(adders):
-        tw = wi.table(2 + ti)
-        xs = [rng.getrandbits(32) for _ in range(1 << 5)]
-        ys = [rng.getrandbits(32) for _ in range(1 << 5)]
-        tw.set_packed_ints(xin, xs)
-        tw.set_packed_ints(yin, ys)
-        adder.populate(tw, xs, ys)
-    twm = wi.table(4)
-    gm.populate(twm, [rng.getrandbits(32) for _ in range(4)],
-                [rng.getrandbits(32) for _ in range(4)])
-    return core, wi.to_core_witness(core, omap)
 
 
 def test_prove_mesh_grouped_lookup_exp_byte_equality(mesh, monkeypatch):
