@@ -144,7 +144,36 @@ def bench_commit_encode():
         return m.at[:8, :1].set(m[:8, :1] ^ root)
 
     dt = timeit(step, msg, iters=5)
-    return n / dt / 1e6
+
+    # Attribution (round-4 verdict weak #4): how much of the per-commit time
+    # is DEVICE work (RS encode + fused Merkle levels) vs the host top-layer
+    # fetch + top build the transcript needs (one ~25 ms relay round trip
+    # regardless of size). The device-only step chains on the last
+    # device-resident digest layer without crossing to the host.
+    from binius_tpu.hash import groestl_pallas
+    from binius_tpu.merkle import tree as tree_mod
+
+    coset_log = params.fold_arities[0]
+
+    def step_device(m):
+        cw = fri_mod.rs_encode(params, m)
+        cw2 = cw.reshape(cw.shape[0], -1)
+        n_leaves = cw2.shape[0] >> coset_log
+        blob_len = cw2.shape[0] * cw2.shape[1] * 4 // n_leaves
+        n_dev = max(0, (n_leaves.bit_length() - 1)
+                    - (tree_mod._MIN_DEVICE_ROWS.bit_length() - 1))
+        outs = groestl_pallas.tree_levels(cw2, coset_log, blob_len, n_dev)
+        top = outs[-1]
+        return m.at[:top.shape[0], :4].set(m[:top.shape[0], :4] ^ top[:, :4])
+
+    try:
+        dt_dev = timeit(step_device, msg, iters=5)
+    except Exception:
+        import traceback
+        print("commit_encode device-only attribution failed:", file=sys.stderr)
+        traceback.print_exc()
+        dt_dev = None
+    return n / dt / 1e6, (n / dt_dev / 1e6 if dt_dev else None)
 
 
 def bench_prove(budget_s=900):
@@ -250,12 +279,12 @@ def main():
         traceback.print_exc()
         groestl_mbps = groestl_pallas_mbps = None
     try:
-        commit_encode = bench_commit_encode()
+        commit_encode, commit_encode_dev = bench_commit_encode()
     except Exception:
         import traceback
         print("bench_commit_encode failed:", file=sys.stderr)
         traceback.print_exc()
-        commit_encode = None
+        commit_encode = commit_encode_dev = None
     prove_ms = bench_prove()
     prev = _prev_round_value()
     print(json.dumps({
@@ -276,6 +305,9 @@ def main():
                 if groestl_pallas_mbps is not None else None),
             "commit_encode_Melem_s": (
                 round(commit_encode, 2) if commit_encode is not None else None),
+            "commit_encode_device_only_Melem_s": (
+                round(commit_encode_dev, 2)
+                if commit_encode_dev is not None else None),
         },
     }))
 

@@ -13,7 +13,8 @@ with `SerializationMode::CanonicalTower`:
   * field elements: canonical-tower value, 2^level/8 bytes LE
     (`binary_field.rs:771-801`, `underlier/small_uint.rs:246`);
   * ArithCircuit -> Vec<ArithCircuitStep> with steps in left-to-right
-    postorder, subexpressions deduplicated (`math/arith_expr.rs:700-761`);
+    postorder and the reference's Arc-POINTER dedup semantics emulated on
+    object identity (`math/arith_expr.rs:700-761`, see `_expr_steps`);
     step variants Add=0 Mul=1 Pow=2 Const=3 Var=4 (`arith_expr.rs:200-206`);
   * transparent polynomials: registered type name + struct fields
     (`macros/src/lib.rs` erased_serialize_bytes, transparent/serialization.rs).
@@ -25,11 +26,9 @@ reference's `ConstraintSystem::digest::<Groestl256>()` (`mod.rs:51-57`).
 The M3 builder records this symbolic form during `compile_sizes`; the
 transcript observes `digest(symbolic)` in place of the legacy repr digest.
 
-Known remaining lowering divergences (ours-in-their-format, enumerated in
-docs/TRANSCRIPT.md): our constant/fixed columns serialize as full-column
-transparents rather than row transparents + Repeating, and our non-po2
-step-down flush selectors are baked into the system rather than augmented
-at prove time (`verify.rs:390-430`).
+No known lowering divergences remain (docs/TRANSCRIPT.md enumerates the
+closure history); the final byte check awaits external Rust-captured
+fixtures.
 """
 
 from __future__ import annotations
@@ -68,7 +67,11 @@ class SymbolicOracle:
 @dataclasses.dataclass(frozen=True)
 class SymbolicConstraint:
     name: str
-    expr: ArithExpr
+    # ArithCircuit step tuple (see `circuit_steps`): the reference converts
+    # ArithExpr -> ArithCircuit at assert_zero time (`table.rs:724-727`) and
+    # every later transformation (var remapping) operates on the STEP LIST,
+    # so the steps — including Arc-clone duplicates — are the canonical form.
+    circuit: tuple
     predicate: tuple = ("zero",)  # ("sum", F) | ("zero",)
 
 
@@ -149,49 +152,76 @@ class _W:
 
 
 def _expr_steps(expr: ArithExpr):
-    """Left-to-right postorder with subexpression dedup
-    (`arith_expr.rs:700-761`; the reference dedups on Arc pointer identity,
-    we dedup structurally — equal for builder-produced expressions that
-    share subtrees by construction)."""
+    """Left-to-right postorder with the reference's Arc-POINTER dedup
+    semantics (`arith_expr.rs:700-761`) emulated on Python object identity.
+
+    In the reference, an `Arc<ArithExpr>` is minted once per operator
+    application (each operand value is wrapped fresh), and reusing an
+    expression requires `.clone()` — which duplicates the TOP node but
+    shares its children's Arcs. The circuit conversion memoizes on
+    `Arc::as_ptr`, so: every syntactic operand use emits its own step for
+    the operand's top node, while the operand's CHILDREN (the Arcs minted at
+    its construction) dedup globally. Two structurally equal but separately
+    constructed subtrees do NOT dedup (e.g. `(x+ci)*(y+ci)+ci` emits THREE
+    Var(ci) steps).
+
+    The Python analog: a node reused as an operand in several places plays
+    the role of the Rust value that is cloned per use — its own step is
+    re-emitted at every occurrence, while each (parent object, operand slot)
+    pair identifies one construction-time Arc and is memoized globally.
+    Round-4's structural dedup over-merged relative to this (divergence 1(c)
+    in docs/TRANSCRIPT.md, now closed by construction).
+
+    Because the conversion depends on object identity, it must run while the
+    builder-constructed tree is still intact — callers convert at
+    assert_zero/add_computed time (like the reference) and pass step tuples
+    around from then on (`circuit_steps` / `remap_steps`)."""
     steps = []
-    memo: dict = {}
+    arc_memo: dict = {}  # (id(parent), slot) -> step index
 
-    def key(e):
-        if e.op == "const":
-            return ("c", int(e.value), e.level)
-        if e.op == "var":
-            return ("v", e.value)
-        return (e.op, tuple(key(a) for a in e.args), e.value)
-
-    def visit(e):
-        k = key(e)
-        if k in memo:
-            return memo[k]
+    def emit(e) -> int:
+        """Always append a fresh step for e's top node; children resolve
+        through the construction-Arc memo."""
         if e.op == "const":
             step = ("const", int(e.value))
         elif e.op == "var":
             step = ("var", e.value)
-        elif e.op in ("add", "mul"):
-            left = visit(e.args[0])
-            right = visit(e.args[1])
-            step = (e.op, left, right)
-        elif e.op == "pow":
-            base = visit(e.args[0])
-            step = ("pow", base, e.value)
+        elif e.op in ("add", "mul", "pow"):
+            child_idx = []
+            for slot, a in enumerate(e.args):
+                key = (id(e), slot)
+                idx = arc_memo.get(key)
+                if idx is None:
+                    idx = emit(a)
+                    arc_memo[key] = idx
+                child_idx.append(idx)
+            step = (("pow", child_idx[0], e.value) if e.op == "pow"
+                    else (e.op, child_idx[0], child_idx[1]))
         else:
             raise ValueError(e.op)
         steps.append(step)
-        memo[k] = len(steps) - 1
         return len(steps) - 1
 
-    # the reference's top-level match never consults the memo for the root,
-    # but always appends — identical effect to visit() on a fresh memo
-    visit(expr)
+    # the reference's top-level match never consults the memo for the root
+    emit(expr)
     return steps
 
 
-def _w_circuit(w: _W, expr: ArithExpr):
-    steps = _expr_steps(expr)
+def circuit_steps(expr: ArithExpr) -> tuple:
+    """ArithExpr tree -> ArithCircuit step tuple (Arc-model emission)."""
+    return tuple(_expr_steps(expr))
+
+
+def remap_steps(steps: tuple, mapping: dict) -> tuple:
+    """Remap Var indices on a step tuple (the reference's
+    `ArithCircuit::remap_vars`, which likewise operates on steps)."""
+    return tuple(("var", mapping[s[1]]) if s[0] == "var" else s
+                 for s in steps)
+
+
+def _w_circuit(w: _W, circuit):
+    steps = (circuit_steps(circuit) if isinstance(circuit, ArithExpr)
+             else circuit)
     w.u32(len(steps))
     for st in steps:
         if st[0] == "add":
@@ -303,7 +333,7 @@ def serialize(sym: SymbolicSystem) -> bytes:
 
         def w_c(c: SymbolicConstraint):
             w.string(c.name)
-            _w_circuit(w, c.expr)
+            _w_circuit(w, c.circuit)
             if c.predicate[0] == "sum":
                 w.u8(0)
                 w.f(c.predicate[1])
@@ -375,27 +405,26 @@ class _R:
         return tuple(read() for _ in range(self.u32()))
 
 
-def _r_circuit(r: _R) -> ArithExpr:
+def _r_circuit(r: _R) -> tuple:
+    """Read an ArithCircuit back as its step tuple (the canonical form —
+    reconstructing a tree would lose the Arc-clone step duplicates)."""
     n = r.u32()
-    nodes = []
+    steps = []
     for _ in range(n):
         tag = r.u8()
         if tag == 0:
-            a, b = r.u32(), r.u32()
-            nodes.append(nodes[a] + nodes[b])
+            steps.append(("add", r.u32(), r.u32()))
         elif tag == 1:
-            a, b = r.u32(), r.u32()
-            nodes.append(nodes[a] * nodes[b])
+            steps.append(("mul", r.u32(), r.u32()))
         elif tag == 2:
-            a, e = r.u32(), r.u64()
-            nodes.append(ArithExpr("pow", (nodes[a],), e))
+            steps.append(("pow", r.u32(), r.u64()))
         elif tag == 3:
-            nodes.append(ArithExpr.const(r.f(), 7))
+            steps.append(("const", r.f()))
         elif tag == 4:
-            nodes.append(ArithExpr.var(r.u32()))
+            steps.append(("var", r.u32()))
         else:
             raise ValueError(tag)
-    return nodes[-1]
+    return tuple(steps)
 
 
 _TRANSPARENT_FIELDS = {

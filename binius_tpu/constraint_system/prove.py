@@ -178,10 +178,15 @@ def _make_flush_oracles(system: ConstraintSystem, alpha: int, beta: int):
     """Instantiate the flush oracles (both sides do this identically):
     a LinearCombination alpha + sum beta^i col_i, or — with a selector —
     the Composite 1 + sel * (1 + alpha + sum beta^i col_i), so deselected
-    rows contribute 1 to the grand product. Returns [(flush, oracle_id)]."""
+    rows contribute 1 to the grand product. Returns [(flush, oracle_id)].
+
+    Flushes are stable-sorted by channel id first — the reference
+    canonicalizes the flush order this way on BOTH sides before any oracle
+    augmentation (`prove.rs:150`, `verify.rs:333` `sort_by_key(channel_id)`),
+    so flush-oracle ids and GPA claim order follow (channel, emission)."""
     from ..math.arith import ArithExpr
     out = []
-    for f in system.flushes:
+    for f in sorted(system.flushes, key=lambda f: f.channel_id):
         n_vars = system.oracles[f.oracle_ids[0]].n_vars
         coeff = beta
         terms = []

@@ -68,7 +68,7 @@ class TableStat:
         self.total_flush_count = sum(f[3] for f in table.flushes)
         # {tower_level: {log_vpr: [_Constraint]}}
         self.constraints: dict = {}
-        for name, vpr, expr, _cols, _group in table.zero_constraints:
+        for name, vpr, expr, _cols, _steps in table.zero_constraints:
             self.constraints.setdefault(7, {}).setdefault(vpr, []).append(
                 _Constraint(name, expr.degree(), eval_cost(expr)))
 

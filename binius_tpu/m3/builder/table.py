@@ -51,7 +51,7 @@ class TableBuilder:
         self.table_id = table_id
         self.name = name
         self.columns: list[_ColumnDef] = []
-        self.zero_constraints: list = []   # (name, log_vpr, expr over cols, cols)
+        self.zero_constraints: list = []   # (name, log_vpr, expr, cols, steps)
         self.flushes: list = []            # (channel_id, direction, [Col], multiplicity)
         self.fixed_log_rows: int | None = None
         self.size_spec: str = "arbitrary"  # TableSizeSpec (`mod.rs:115-122`)
@@ -188,13 +188,24 @@ class TableBuilder:
                     group: str = "") -> None:
         """expr is over var(i) = cols[i]; all cols share values-per-row.
 
-        Constraints with the same `group` lower into one ConstraintSet (one
-        batched zerocheck claim); structurally identical groups then share
-        compiled round kernels.
+        All constraints of one (table, values-per-row) partition lower into
+        ONE ConstraintSet, mirroring the reference
+        (`builder/constraint_system.rs` compile: one
+        `translate_constraint_set` per TablePartition); the prover groups
+        structurally identical compositions WITHIN the claim for shared
+        compiled round kernels, so `group` is accepted for source
+        compatibility but no longer affects lowering.
+
+        The canonical ArithCircuit steps are captured HERE, while the
+        builder-constructed expression tree's object-sharing topology is
+        intact — the reference likewise converts at assert_zero time
+        (`table.rs:724-727` `ArithCircuit::from(expr.expr())`).
         """
+        from ...constraint_system import canonical as canon
         vpr = cols[0].log_values_per_row
         assert all(c.log_values_per_row == vpr for c in cols)
-        self.zero_constraints.append((name, vpr, expr, tuple(cols), group))
+        self.zero_constraints.append(
+            (name, vpr, expr, tuple(cols), canon.circuit_steps(expr)))
 
     def stat(self):
         """Proving-cost statistics for this table (`builder/table.rs:825`)."""
@@ -317,7 +328,8 @@ class M3ConstraintSystem:
                         oracle_map[key] = oracles.add_composite(
                             n_vars, inner_ids, expr, nm)
                         rec(nm, col.log_values_per_row, 7,
-                            ("composite", tuple(inner_ids), expr))
+                            ("composite", tuple(inner_ids),
+                             canon.circuit_steps(expr)))
                     else:
                         terms, offset = _linearize(expr, len(cd.expr_cols))
                         lc_terms = list(zip(inner_ids, terms))
@@ -373,66 +385,98 @@ class M3ConstraintSystem:
                     oracle_map[key] = oracles.add_transparent(tp, nm)
                     # sizeless: the unbound circuit (variant 2 Structured)
                     rec(nm, col.log_values_per_row, col.level,
-                        ("structured", cd.inner))
+                        ("structured", canon.circuit_steps(cd.inner)))
                 elif cd.kind in ("static_exp", "dynamic_exp"):
-                    from ...constraint_system.exp import Exp
+                    # oracle here, in declaration order; the Exp record is
+                    # emitted in the partition loop below (reference
+                    # `constraint_system.rs` compile: exps per partition)
                     oracle_map[key] = oracles.add_committed(n_vars, col.level, nm)
                     rec(nm, col.log_values_per_row, col.level, ("committed",))
+
+            # --- per-partition emission, ascending values-per-row ---
+            # The reference's compile() iterates table.partitions (a
+            # SparseIndex keyed on log2(values_per_row) -> ascending) and for
+            # each partition emits: Exp records (partition-column order),
+            # flushes (call order), then ONE translated constraint set whose
+            # oracle list is the USED partition columns in declaration order
+            # (`translate_constraint_set`). Divergence 1(d) closure: this
+            # replaces the old (vpr, group)-split, first-use-ordered sets.
+            part_vprs = sorted({c.col.log_values_per_row for c in t.columns})
+            from ...constraint_system.exp import Exp
+            for vpr in part_vprs:
+                # Exp records: partition columns in declaration order
+                for cd in t.columns:
+                    col = cd.col
+                    if col.log_values_per_row != vpr or \
+                            cd.kind not in ("static_exp", "dynamic_exp"):
+                        continue
+                    key = (t.table_id, col.index)
                     bits_ids = tuple(oracle_map[(t.table_id, b.index)]
                                      for b in cd.expr_cols)
                     if cd.kind == "static_exp":
-                        exponents.append(Exp(bits_ids, oracle_map[key], col.level,
-                                             base_const=cd.constant))
+                        exponents.append(Exp(bits_ids, oracle_map[key],
+                                             col.level, base_const=cd.constant))
                         sym_exps.append(canon.SymbolicExp(
                             bits_ids, ("const", cd.constant, col.level),
                             oracle_map[key]))
                     else:
                         base_id = oracle_map[(t.table_id, cd.inner.index)]
-                        exponents.append(Exp(
-                            bits_ids, oracle_map[key], col.level,
-                            base_oracle=base_id))
+                        exponents.append(Exp(bits_ids, oracle_map[key],
+                                             col.level, base_oracle=base_id))
                         sym_exps.append(canon.SymbolicExp(
                             bits_ids, ("oracle", base_id), oracle_map[key]))
-            # group zero constraints by (values-per-row, group) partition
-            by_vpr: dict = {}
-            for name, vpr, expr, cols, group in t.zero_constraints:
-                by_vpr.setdefault((vpr, group), []).append((name, expr, cols))
-            for (vpr, group), entries in sorted(by_vpr.items()):
-                # union of columns used, deterministic order
-                col_list = []
-                for _, _, cols in entries:
-                    for c in cols:
-                        if c not in col_list:
-                            col_list.append(c)
-                exprs = []
-                sym_constraints = []
-                for name, expr, cols in entries:
-                    remap = {i: col_list.index(c) for i, c in enumerate(cols)}
+
+                # flushes of this partition, call order
+                for channel_id, direction, cols, mult, selector in t.flushes:
+                    if cols[0].log_values_per_row != vpr:
+                        continue
+                    sel_ids = ((oracle_map[(t.table_id, selector.index)],)
+                               if selector is not None else ())
+                    ids = tuple(oracle_map[(t.table_id, c.index)] for c in cols)
+                    # reference gating (`verify.rs:408-410`): every flush of
+                    # an Arbitrary-spec table gets a step-down selector, even
+                    # when the runtime size happens to be a power of two (the
+                    # mask is then all-ones) — matching ids/bytes requires
+                    # matching this
+                    pending_flushes.append((t_idx, channel_id, direction, ids,
+                                            mult, sel_ids, vpr,
+                                            t.size_spec not in ("fixed", "po2")))
+                    sym_flushes.append(canon.SymbolicFlush(
+                        t_idx, vpr, tuple(("oracle", i) for i in ids),
+                        channel_id, direction, sel_ids, mult))
+
+                # ONE constraint set per partition: used columns in
+                # declaration order, constraints in assert_zero call order
+                entries = [(name, expr, cols, steps)
+                           for name, c_vpr, expr, cols, steps
+                           in t.zero_constraints if c_vpr == vpr]
+                if not entries:
+                    continue
+                used_idx: set = set()
+                for _, expr, cols, _ in entries:
+                    for i in expr.vars_used():
+                        used_idx.add(cols[i].index)
+                col_list = [c for cd in t.columns
+                            for c in (cd.col,)
+                            if c.log_values_per_row == vpr
+                            and c.index in used_idx]
+                dense = {c.index: pos for pos, c in enumerate(col_list)}
+                exprs, sym_constraints = [], []
+                for name, expr, cols, steps in entries:
+                    remap = {i: dense[c.index] for i, c in enumerate(cols)
+                             if i in expr.vars_used()}
                     exprs.append(expr.remap_vars(remap))
                     sym_constraints.append(canon.SymbolicConstraint(
-                        name, exprs[-1], ("zero",)))
+                        name, canon.remap_steps(steps, remap), ("zero",)))
                 ids = tuple(oracle_map[(t.table_id, c.index)] for c in col_list)
                 constraint_sets.append(ConstraintSet(
                     log_rows + vpr, ids, tuple(exprs)))
                 sym_csets.append(canon.SymbolicConstraintSet(
                     t_idx, vpr, ids, tuple(sym_constraints)))
 
-            for channel_id, direction, cols, mult, selector in t.flushes:
-                sel_ids = ((oracle_map[(t.table_id, selector.index)],)
-                           if selector is not None else ())
-                ids = tuple(oracle_map[(t.table_id, c.index)] for c in cols)
-                vpr = cols[0].log_values_per_row
-                # reference gating (`verify.rs:408-410`): every flush of an
-                # Arbitrary-spec table gets a step-down selector, even when
-                # the runtime size happens to be a power of two (the mask is
-                # then all-ones) — matching ids/bytes requires matching this
-                pending_flushes.append((t_idx, channel_id, direction, ids,
-                                        mult, sel_ids, vpr,
-                                        t.size_spec not in ("fixed", "po2")))
-                sym_flushes.append(canon.SymbolicFlush(
-                    t_idx, vpr, tuple(("oracle", i) for i in ids), channel_id,
-                    direction, sel_ids, mult))
-            for c in t.nonzero_cols:
+            # non-zero claims: column declaration order (the reference pushes
+            # them while adding column oracles, `add_oracles_for_columns`)
+            for c in sorted(t.nonzero_cols, key=lambda c: c.index):
                 non_zero_claims.append(NonZeroClaim(oracle_map[(t.table_id, c.index)]))
 
         # step-down padding selectors for non-power-of-two tables, appended

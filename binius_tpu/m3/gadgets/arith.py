@@ -38,7 +38,7 @@ class U32Add:
         group = name if group is None else group
         zout = t.add_committed(f"{name}.zout", 0, LOG_U32)
         cout = t.add_committed(f"{name}.cout", 0, LOG_U32)
-        cin = t.add_shifted(f"{name}.cin", cout, 1, LOG_U32, shift_ind.LOGICAL_RIGHT)
+        cin = t.add_shifted(f"{name}.cin", cout, 1, LOG_U32, shift_ind.LOGICAL_LEFT)
         x, y, ci, z, co = (V(i) for i in range(5))
         t.assert_zero(f"{name}.carry", [xin, yin, cin, zout, cout],
                       (x + ci) * (y + ci) + ci + co, group=group)
@@ -79,7 +79,7 @@ class U32Sub:
     def build(t: TableBuilder, name: str, xin: Col, yin: Col) -> "U32Sub":
         zout = t.add_committed(f"{name}.zout", 0, LOG_U32)
         bout = t.add_committed(f"{name}.bout", 0, LOG_U32)
-        bin_ = t.add_shifted(f"{name}.bin", bout, 1, LOG_U32, shift_ind.LOGICAL_RIGHT)
+        bin_ = t.add_shifted(f"{name}.bin", bout, 1, LOG_U32, shift_ind.LOGICAL_LEFT)
         x, y, bi, z, bo = (V(i) for i in range(5))
         # borrow: bo = (1+x+bi)(y+bi) + bi ; z = x + y + bi
         t.assert_zero(f"{name}.borrow", [xin, yin, bin_, zout, bout],

@@ -26,13 +26,15 @@ CIRCULAR_LEFT = "circular_left"   # rotate left
 def _stage_shift(t: TableBuilder, name: str, col: Col, offset: int, kind: str) -> Col:
     """Column shift implementing the *integer* shift semantics on the
     bit-index layout (bit z of value at value-index z)."""
+    # reference shift semantics make these direct: value << o IS
+    # LogicalLeft(o) (out[z] = in[z-o]), value >> o IS LogicalRight(o),
+    # rotate-left-by-o IS CircularLeft(o)
     if kind == LOGICAL_LEFT:
-        # out[z] = in[z - offset] -> index-space LOGICAL_RIGHT
-        return t.add_shifted(name, col, offset, LOG_U32, shift_ind.LOGICAL_RIGHT)
-    if kind == LOGICAL_RIGHT:
         return t.add_shifted(name, col, offset, LOG_U32, shift_ind.LOGICAL_LEFT)
+    if kind == LOGICAL_RIGHT:
+        return t.add_shifted(name, col, offset, LOG_U32, shift_ind.LOGICAL_RIGHT)
     if kind == CIRCULAR_LEFT:
-        return t.add_shifted(name, col, (32 - offset) % 32, LOG_U32,
+        return t.add_shifted(name, col, offset, LOG_U32,
                              shift_ind.CIRCULAR_LEFT)
     raise ValueError(kind)
 

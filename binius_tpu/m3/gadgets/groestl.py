@@ -202,9 +202,11 @@ class PermutationRound:
         shifts_tbl = SHIFTS_P if variant == "P" else SHIFTS_Q
         shift = []
         for i in range(8):
-            # spec: row i rotates left by shifts_tbl[i]; our CIRCULAR_LEFT
-            # oracle is out[j] = in[(j + o) % 8] = np.roll(row, -o)
-            off = shifts_tbl[i]
+            # spec: row i rotates left by shifts_tbl[i]: out[j] =
+            # in[(j + s) % 8]; CIRCULAR_LEFT(o) is out[j] = in[(j - o) % 8]
+            # so o = (8 - s) % 8 (the reference's own complement,
+            # `gadgets/hash/groestl.rs:158-166` shift_bytes_offset)
+            off = (8 - shifts_tbl[i]) % 8
             if off == 0:
                 shift.append(sboxes[i].output)
             else:

@@ -7,7 +7,8 @@ values per row (z = value index). Per round:
   * theta: C[x] (5-lane XOR) and AfterTheta[x,y] = A + C[x-1] + rot(C[x+1],1)
     are linear -> computed/shifted virtual columns;
   * rho/pi: B[pi(x,y)] = rot(AfterTheta[x,y], r[x,y]) -> circular-shift
-    virtual columns (rotation left by n == CIRCULAR_LEFT offset (64-n)%64);
+    virtual columns (rotation left by n == CIRCULAR_LEFT offset n,
+    reference shift semantics);
   * chi+iota: the next state is committed with the constraint
     A' + B0 + (1 + B1)*B2 (+ RC pattern for lane (0,0)) = 0, one constraint
     per lane per round, grouped per round so all 24 rounds share one
@@ -72,7 +73,7 @@ def _rot_col(t: TableBuilder, name: str, col: Col, n: int) -> Col:
     n %= 64
     if n == 0:
         return col
-    return t.add_shifted(name, col, (64 - n) % 64, LOG_LANE, shift_ind.CIRCULAR_LEFT)
+    return t.add_shifted(name, col, n, LOG_LANE, shift_ind.CIRCULAR_LEFT)
 
 
 @dataclasses.dataclass

@@ -122,7 +122,7 @@ class NodesTable:
         from ...protocols import shift_ind
         self.parent_index = t.add_committed("parent_index", 0, 5)
         left_index = t.add_shifted("left_index", self.parent_index, 1, 5,
-                                   shift_ind.LOGICAL_RIGHT)
+                                   shift_ind.LOGICAL_LEFT)
         parent_index_packed = t.add_packed("parent_index_packed",
                                            self.parent_index)
         left_index_packed = t.add_packed("left_index_packed", left_index)

@@ -53,7 +53,7 @@ class U32Mul:
                 xs = xin
             else:
                 xs = t.add_shifted(f"{name}.xs{i}", xin, i, LOG_U32,
-                                   shift_ind.LOGICAL_RIGHT)
+                                   shift_ind.LOGICAL_LEFT)
             p = t.add_committed(f"{name}.p{i}", 0, LOG_U32)
             t.assert_zero(f"{name}.p{i}.def", [p, xs, b], V(0) + V(1) * V(2),
                           group=f"{name}.bit{i}")

@@ -39,16 +39,19 @@ M32 = 0xFFFFFFFF
 
 
 def _rotr(t: TableBuilder, name: str, col: Col, n: int) -> Col:
-    """ROTR n in value terms: out bit z = in bit (z+n)%32 -> CIRCULAR_LEFT(n)."""
+    """ROTR n: out bit z = in bit (z+n)%32 -> CIRCULAR_LEFT(32-n), exactly
+    the reference's lowering (`gadgets/hash/sha256.rs:582-584`)."""
     n %= 32
     if n == 0:
         return col
-    return t.add_shifted(name, col, n, LOG_U32, shift_ind.CIRCULAR_LEFT)
+    return t.add_shifted(name, col, (32 - n) % 32, LOG_U32,
+                         shift_ind.CIRCULAR_LEFT)
 
 
 def _shr(t: TableBuilder, name: str, col: Col, n: int) -> Col:
-    """SHR n: out bit z = in bit z+n -> index-space LOGICAL_LEFT(n)."""
-    return t.add_shifted(name, col, n, LOG_U32, shift_ind.LOGICAL_LEFT)
+    """SHR n: out bit z = in bit z+n -> LOGICAL_RIGHT(n) (reference
+    shift semantics, `validate.rs:216-226`)."""
+    return t.add_shifted(name, col, n, LOG_U32, shift_ind.LOGICAL_RIGHT)
 
 
 def _xor3(t: TableBuilder, name: str, a: Col, b: Col, c: Col) -> Col:

@@ -159,12 +159,28 @@ class ArithExpr:
         return (self.op, self.value, tuple(a.key for a in self.args))
 
     def remap_vars(self, mapping: dict) -> "ArithExpr":
-        if self.op == "var":
-            return ArithExpr.var(mapping[self.value])
-        if self.op == "const":
-            return self
-        return ArithExpr(self.op, tuple(a.remap_vars(mapping) for a in self.args),
-                         self.value, self.level)
+        """Rebuild with variable indices remapped. Memoized per node so the
+        OBJECT-SHARING topology of the tree is preserved: canonical circuit
+        emission (`constraint_system/canonical.py:_expr_steps`) mirrors the
+        reference's Arc-pointer dedup via object identity, and a naive
+        per-path rebuild would silently un-share every reused subtree."""
+        memo: dict = {}
+
+        def go(e):
+            out = memo.get(id(e))
+            if out is not None:
+                return out
+            if e.op == "var":
+                out = ArithExpr.var(mapping[e.value])
+            elif e.op == "const":
+                out = e
+            else:
+                out = ArithExpr(e.op, tuple(go(a) for a in e.args),
+                                e.value, e.level)
+            memo[id(e)] = out
+            return out
+
+        return go(self)
 
     def serialize_tokens(self) -> tuple:
         """Canonical token stream (for constraint-system digests)."""

@@ -19,14 +19,16 @@ host computes the same challenges from the same committed data).
 
 `tests/test_distributed.py` integration-tests the multi-CONTROLLER path on
 this single-host image: two spawned processes initialize against a local
-coordinator, build one global 4-device CPU mesh, and run the sharded
+coordinator, build one global 4-device CPU mesh, and (a) run the sharded
 multiply + XOR-reduce kernel on a cross-process-sharded array with identical
-results on both ranks (Gloo collectives). Full multi-controller proving
-additionally needs process-local witness staging
-(`jax.make_array_from_process_local_data` instead of `device_put`) for
-arrays too large to replicate per host; the single-host 8-device mesh
-byte-equality tests and `__graft_entry__.dryrun_multichip` cover the
-prover's sharding semantics.
+results on both ranks (Gloo collectives), and (b) round 5: run the FULL
+10-phase `prove(..., mesh=...)` across both processes with proof bytes
+identical to the single-process prover. Process-local witness staging lives
+in `parallel/mesh.py:_put`: when the mesh spans non-addressable devices,
+each process contributes only its addressable shards via
+`jax.make_array_from_callback` (witness generation is deterministic, so at
+scale each host can generate just its own rows); `mesh.pull_local` gathers
+tiny cross-process transcript tensors with the multihost allgather.
 """
 
 from __future__ import annotations

@@ -69,6 +69,29 @@ def mesh_of(x) -> Mesh | None:
     return m
 
 
+def is_cross_process(mesh: Mesh) -> bool:
+    """True when the mesh spans devices this process cannot address
+    (multi-controller deployment, SURVEY §5.8)."""
+    local = set(jax.local_devices())
+    return any(d not in local for d in mesh.devices.flat)
+
+
+def _put(data, sharding: NamedSharding):
+    """device_put, or process-local staging when the target sharding spans
+    non-addressable devices: every process passes the (identical,
+    deterministically generated) host value and contributes only its
+    addressable shards (`jax.make_array_from_callback` — the
+    `make_array_from_process_local_data` pattern of
+    parallel/distributed.py; witness generation is deterministic so each
+    host can also generate only its rows at scale)."""
+    if not is_cross_process(sharding.mesh):
+        return jax.device_put(data, sharding)
+    import numpy as np
+    np_data = np.asarray(data)
+    return jax.make_array_from_callback(np_data.shape, sharding,
+                                        lambda idx: np_data[idx])
+
+
 def put_row_sharded(mesh: Mesh, level: int, data, min_elems: int = MIN_SHARD_ELEMS):
     """Place a multilinear on the mesh: element (leading) axis sharded when
     large and divisible, replicated otherwise."""
@@ -79,11 +102,11 @@ def put_row_sharded(mesh: Mesh, level: int, data, min_elems: int = MIN_SHARD_ELE
         spec = P(AXIS, *([None] * (data.ndim - 1)))
     else:
         spec = P(*([None] * data.ndim))
-    return jax.device_put(data, NamedSharding(mesh, spec))
+    return _put(data, NamedSharding(mesh, spec))
 
 
 def put_replicated(mesh: Mesh, data):
-    return jax.device_put(data, NamedSharding(mesh, P(*([None] * data.ndim))))
+    return _put(data, NamedSharding(mesh, P(*([None] * data.ndim))))
 
 
 def put_axis_sharded(mesh: Mesh, data, axis: int,
@@ -101,9 +124,16 @@ def put_axis_sharded(mesh: Mesh, data, axis: int,
 def pull_local(x):
     """Fetch a (small) mesh-committed array back to an uncommitted local
     array; no-op for already-local arrays. Used where tiny per-claim tensors
-    leave the sharded data path and re-enter host-orchestrated math."""
+    leave the sharded data path and re-enter host-orchestrated math. Under a
+    multi-controller mesh, shards owned by other processes are gathered via
+    the multihost allgather (every process gets the full value — these are
+    tiny transcript-bound tensors, and hosts must agree on them anyway)."""
     if is_mesh_sharded(x):
         import jax.numpy as jnp
         import numpy as np
+        if not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+            return jnp.asarray(np.asarray(
+                multihost_utils.process_allgather(x, tiled=True)))
         return jnp.asarray(np.asarray(jax.device_get(x)))
     return x

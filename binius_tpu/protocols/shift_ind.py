@@ -1,17 +1,25 @@
 """Shift indicator transparent polynomials (DP23 §4.3).
 
-Semantics match `crates/core/src/transparent/shift_ind.rs`:
+Semantics match `crates/core/src/transparent/shift_ind.rs` and the
+reference's witness-level ground truth (`constraint_system/validate.rs:
+178-226`):
 
-  * CircularLeft(o):  shifted[i] = f[(i+o) mod 2^b]
-  * LogicalLeft(o):   shifted[i] = f[i+o]   (0 when i+o >= 2^b)
-  * LogicalRight(o):  shifted[i] = f[i-o]   (0 when i < o)
+  * CircularLeft(o):  shifted[i] = f[(i-o) mod 2^b]
+  * LogicalLeft(o):   shifted[i] = f[i-o]   (0 when i < o)  — "value << o"
+  * LogicalRight(o):  shifted[i] = f[i+o]   (0 when i+o >= 2^b)
 
-so shift_ind(x, y) = 1 iff reading f at y contributes to shifted at x.
-Both the partial MLE over y (prover side, given a field point x = r) and the
-full evaluation at field points (verifier side) are computed by a carry DP
-over the offset's bits: the logical-left indicator is the no-carry-out path
-of the binary addition y = x + o, logical-right swaps roles, and circular =
-LL(o) + LR(2^b - o) (disjoint supports).
+(Rounds 1-4 had left/right MIRRORED relative to the reference — every gadget
+compensated at its call site, but the serialized (variant, offset) pairs
+diverged from a reference circuit of identical semantics. Flipped in round 5
+for canonical parity; gadget call sites now read like the reference's.)
+
+shift_ind(x, y) = 1 iff reading f at y contributes to shifted at x. Both the
+partial MLE over y (prover side, given a field point x = r) and the full
+evaluation at field points (verifier side) are computed by a carry DP over
+the offset's bits: the primitive `_ll_eval_scalar(b, o, A, B)` is the
+no-carry-out path of the binary addition B = A + o; LogicalRight is
+(A, B) = (x, y), LogicalLeft is (A, B) = (y, x), and circular =
+LogicalLeft(o) + LogicalRight(2^b - o) (disjoint supports).
 """
 
 from __future__ import annotations
@@ -61,14 +69,15 @@ def _ll_eval_scalar(b: int, o: int, x: list[int], y: list[int]) -> int:
 
 
 def evaluate_scalar(variant: str, b: int, o: int, x: list[int], y: list[int]) -> int:
-    """shift_ind(x, y) at field points (verifier side)."""
-    if variant == LOGICAL_LEFT:
+    """shift_ind(x, y) at field points (verifier side); x = shifted index
+    point, y = inner index point."""
+    if variant == LOGICAL_RIGHT:       # y = x + o
         return _ll_eval_scalar(b, o, x, y)
-    if variant == LOGICAL_RIGHT:
+    if variant == LOGICAL_LEFT:        # x = y + o
         return _ll_eval_scalar(b, o, y, x)
-    if variant == CIRCULAR_LEFT:
-        out = _ll_eval_scalar(b, o, x, y)
-        out ^= _ll_eval_scalar(b, (1 << b) - o, y, x)
+    if variant == CIRCULAR_LEFT:       # y = (x - o) mod 2^b
+        out = _ll_eval_scalar(b, o, y, x)
+        out ^= _ll_eval_scalar(b, (1 << b) - o, x, y)
         return out
     raise ValueError(variant)
 
@@ -129,13 +138,13 @@ def evaluate_scalar_batch(variants: list[str], bs: list[int], offs: list[int],
         entries = []   # (claim_idx, off, x, y)
         for i in idxs:
             v, o = variants[i], offs[i]
-            if v == LOGICAL_LEFT:
+            if v == LOGICAL_RIGHT:
                 entries.append((i, o, x_points[i], y_points[i]))
-            elif v == LOGICAL_RIGHT:
+            elif v == LOGICAL_LEFT:
                 entries.append((i, o, y_points[i], x_points[i]))
             elif v == CIRCULAR_LEFT:
-                entries.append((i, o, x_points[i], y_points[i]))
-                entries.append((i, (1 << b) - o, y_points[i], x_points[i]))
+                entries.append((i, o, y_points[i], x_points[i]))
+                entries.append((i, (1 << b) - o, x_points[i], y_points[i]))
             else:
                 raise ValueError(v)
         eoffs = np.asarray([e[1] for e in entries], dtype=np.uint32)
@@ -179,13 +188,13 @@ def _ll_partial_mle(b: int, o: int, x_point):
 def partial_mle(variant: str, b: int, o: int, x_point: list[int]):
     """Device MLE over y of shift_ind(x_point, y); x_point: b B128 ints."""
     xs = [tower.from_ints(LEVEL, [v])[0] for v in x_point]
-    if variant == LOGICAL_LEFT:
+    if variant == LOGICAL_RIGHT:       # y = x + o
         return _ll_partial_mle(b, o, xs)
-    if variant == LOGICAL_RIGHT:
+    if variant == LOGICAL_LEFT:        # x = y + o
         return _lr_partial_mle(b, o, xs)
-    if variant == CIRCULAR_LEFT:
-        a = _ll_partial_mle(b, o, xs)
-        c = _lr_partial_mle(b, (1 << b) - o, xs)
+    if variant == CIRCULAR_LEFT:       # y = (x - o) mod 2^b
+        a = _lr_partial_mle(b, o, xs)
+        c = _ll_partial_mle(b, (1 << b) - o, xs)
         return tower.add(LEVEL, a, c)
     raise ValueError(variant)
 
@@ -304,15 +313,16 @@ def partial_mle_batch(variants: list[str], b: int, offsets: list[int],
     lr_off = np.zeros(k, dtype=np.uint32)
     ll_act = np.zeros(k, dtype=bool)
     lr_act = np.zeros(k, dtype=bool)
+    # primitive labels: ll = "y = x + o" DP, lr = "x = y + o" DP
     for i, (v, o) in enumerate(zip(variants, offsets)):
-        if v == LOGICAL_LEFT:
+        if v == LOGICAL_RIGHT:
             ll_off[i], ll_act[i] = o, True
-        elif v == LOGICAL_RIGHT:
+        elif v == LOGICAL_LEFT:
             lr_off[i], lr_act[i] = o, True
         elif v == CIRCULAR_LEFT:
             assert 0 < o < (1 << b), "circular shift offset must be in (0, 2^b)"
-            ll_off[i], ll_act[i] = o, True
-            lr_off[i], lr_act[i] = (1 << b) - o, True
+            lr_off[i], lr_act[i] = o, True
+            ll_off[i], ll_act[i] = (1 << b) - o, True
         else:
             raise ValueError(v)
     xs = np.asarray(jnp.stack([tower.from_ints(LEVEL, pt) for pt in x_points]))
@@ -341,12 +351,12 @@ def apply_shift_device(level: int, variant: str, b: int, o: int, data):
     d = data.reshape(_tower.elem_shape(level, (n // size, size)))
     axis = 1
     if variant == CIRCULAR_LEFT:
-        out = jnp.roll(d, -o, axis=axis)
-    elif variant == LOGICAL_LEFT:
+        out = jnp.roll(d, o, axis=axis)
+    elif variant == LOGICAL_RIGHT:
         pad = [(0, 0)] * d.ndim
         pad[axis] = (0, o)
         out = jnp.pad(jax.lax.slice_in_dim(d, o, size, axis=axis), pad)
-    elif variant == LOGICAL_RIGHT:
+    elif variant == LOGICAL_LEFT:
         pad = [(0, 0)] * d.ndim
         pad[axis] = (o, 0)
         out = jnp.pad(jax.lax.slice_in_dim(d, 0, size - o, axis=axis), pad)
@@ -366,9 +376,9 @@ def apply_shift_ints(variant: str, b: int, o: int, vals: list[int]) -> list[int]
     for blk in range(0, n, size):
         for i in range(size):
             if variant == CIRCULAR_LEFT:
-                out[blk + i] = vals[blk + (i + o) % size]
-            elif variant == LOGICAL_LEFT:
-                out[blk + i] = vals[blk + i + o] if i + o < size else 0
+                out[blk + i] = vals[blk + (i - o) % size]
             elif variant == LOGICAL_RIGHT:
+                out[blk + i] = vals[blk + i + o] if i + o < size else 0
+            elif variant == LOGICAL_LEFT:
                 out[blk + i] = vals[blk + i - o] if i >= o else 0
     return out

@@ -54,6 +54,25 @@ def _bucket_log(log_m: int) -> int:
     return log_m + (log_m & 1)
 
 
+def _group_comp_specs(comp_specs: tuple):
+    """Partition (cexpr, used) compositions by identical compact structure:
+    [(cexpr, used_rows, orig_indices)].
+
+    Reference-parity lowering merges a whole table partition's constraints
+    into ONE claim (`translate_constraint_set`), so a keccak-class claim
+    carries hundreds of compositions that are 24 copies of the same few
+    expressions over different columns. Tracing them individually would
+    blow the graph (and XLA:CPU compile ~linearly with it); instead each
+    distinct structure evaluates ONCE on a (G, k, ...) gather of its used
+    rows — the same op count as a single composition, data-parallel over
+    the group axis (the claims-grouping trick one level down)."""
+    order: dict = {}
+    for ci, (cexpr, used) in enumerate(comp_specs):
+        order.setdefault((cexpr, len(used)), []).append((tuple(used), ci))
+    return [(cexpr, tuple(u for u, _ in entries), tuple(ci for _, ci in entries))
+            for (cexpr, _k), entries in order.items()]
+
+
 def _pad_to(level: int, data, log_size: int):
     cur = tower.batch_shape(level, data)[0]
     want = 1 << log_size
@@ -116,13 +135,26 @@ def _round_values_jit(comp_specs: tuple, levels: tuple, log_padded: int, order_h
             xc = tower.full(LEVEL, (), x)
             at_point.append([fold.extrapolate_line(LEVEL, h[0], h[1], xc)
                              for h in halves])
-    out_rows = []
-    for cexpr, used in comp_specs:
-        for rows_all in at_point:
-            v = cexpr.evaluate(LEVEL, [rows_all[u] for u in used])
-            v = jnp.where(mask.astype(bool), v, jnp.zeros_like(v))
-            out_rows.append(tower.xor_reduce(v, axis=0, spmd=spmd))
-    return jnp.stack(out_rows)
+    out_slots = [[None] * len(at_point) for _ in comp_specs]
+    for cexpr, used_rows, origs in _group_comp_specs(comp_specs):
+        if len(origs) == 1:
+            used = used_rows[0]
+            for pi, rows_all in enumerate(at_point):
+                v = cexpr.evaluate(LEVEL, [rows_all[u] for u in used])
+                v = jnp.where(mask.astype(bool), v, jnp.zeros_like(v))
+                out_slots[origs[0]][pi] = tower.xor_reduce(v, axis=0, spmd=spmd)
+        else:
+            idx = jnp.asarray(np.array(used_rows, dtype=np.int32))
+            k = len(used_rows[0])
+            for pi, rows_all in enumerate(at_point):
+                ev = jnp.stack(rows_all, axis=0)         # (m, half, 4)
+                sub = jnp.take(ev, idx, axis=0)          # (G, k, half, 4)
+                v = cexpr.evaluate(LEVEL, [sub[:, i] for i in range(k)])
+                v = jnp.where(mask[None].astype(bool), v, jnp.zeros_like(v))
+                red = tower.xor_reduce(v, axis=1, spmd=spmd)  # (G, 4)
+                for g, oc in enumerate(origs):
+                    out_slots[oc][pi] = red[g]
+    return jnp.stack([s for comp in out_slots for s in comp])
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 4, 6))
@@ -149,13 +181,27 @@ def _round_values_stacked_jit(comp_specs: tuple, log_padded: int, order_high: bo
         else:
             xc = tower.full(LEVEL, (), x)
             at_point.append(fold.extrapolate_line(LEVEL, e0, e1, xc))
-    out_rows = []
-    for cexpr, used in comp_specs:
-        for ev in at_point:
-            v = cexpr.evaluate(LEVEL, [ev[u] for u in used])
-            v = jnp.where(mask.astype(bool), v, jnp.zeros_like(v))
-            out_rows.append(tower.xor_reduce(v, axis=0, spmd=spmd))
-    return jnp.stack(out_rows)
+    out_slots = [[None] * len(at_point) for _ in comp_specs]
+    for cexpr, used_rows, origs in _group_comp_specs(comp_specs):
+        if len(origs) == 1:
+            used = used_rows[0]
+            for pi, ev in enumerate(at_point):
+                v = cexpr.evaluate(LEVEL, [ev[u] for u in used])
+                v = jnp.where(mask.astype(bool), v, jnp.zeros_like(v))
+                out_slots[origs[0]][pi] = tower.xor_reduce(v, axis=0, spmd=spmd)
+        else:
+            # same-structure compositions: one network on a (G, k, half, 4)
+            # gather instead of G traced copies
+            idx = jnp.asarray(np.array(used_rows, dtype=np.int32))
+            k = len(used_rows[0])
+            for pi, ev in enumerate(at_point):
+                sub = jnp.take(ev, idx, axis=0)          # (G, k, half, 4)
+                v = cexpr.evaluate(LEVEL, [sub[:, i] for i in range(k)])
+                v = jnp.where(mask[None].astype(bool), v, jnp.zeros_like(v))
+                red = tower.xor_reduce(v, axis=1, spmd=spmd)  # (G, 4)
+                for g, oc in enumerate(origs):
+                    out_slots[oc][pi] = red[g]
+    return jnp.stack([s for comp in out_slots for s in comp])
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 5, 7))

@@ -258,12 +258,27 @@ def _uni_chunk_jit(data_level: int, k: int, n_cosets: int, dom_log: int,
         cosets.append(ev.reshape(tower.elem_shape(data_level, (m_pad, chunk, 1 << k))))
     # ext: (m_pad, chunk, P)
     ext = jnp.concatenate(cosets, axis=-1 - (1 if tower.has_limb_dim(data_level) else 0))
-    out = []
-    for cexpr, used in compact:
-        vals = cexpr.evaluate(data_level, [ext[u] for u in used])  # (chunk, P)
-        # subfield-scalar scaling: 16 base products instead of 81
-        weighted = tower.scale_subfield(data_level, LEVEL, vals, eq_c[:, None, :])
-        out.append(tower.xor_reduce(weighted, axis=0, spmd=spmd))     # (P, 4)
+    out = [None] * len(compact)
+    for cexpr, used_rows, origs in sc_prove._group_comp_specs(compact):
+        if len(origs) == 1:
+            vals = cexpr.evaluate(data_level, [ext[u] for u in used_rows[0]])
+            # subfield-scalar scaling: 16 base products instead of 81
+            weighted = tower.scale_subfield(data_level, LEVEL, vals,
+                                            eq_c[:, None, :])
+            out[origs[0]] = tower.xor_reduce(weighted, axis=0, spmd=spmd)
+        else:
+            # same-structure compositions (one merged partition claim): one
+            # network on a (G, k, chunk, P) gather, see _group_comp_specs
+            import numpy as _np
+            idx = jnp.asarray(_np.array(used_rows, dtype=_np.int32))
+            k = len(used_rows[0])
+            sub = jnp.take(ext, idx, axis=0)      # (G, k, chunk, P[, limbs])
+            vals = cexpr.evaluate(data_level, [sub[:, i] for i in range(k)])
+            weighted = tower.scale_subfield(data_level, LEVEL, vals,
+                                            eq_c[:, None, :])
+            red = tower.xor_reduce(weighted, axis=1, spmd=spmd)  # (G, P, 4)
+            for g, oc in enumerate(origs):
+                out[oc] = red[g]
     return jnp.stack(out, axis=0)
 
 

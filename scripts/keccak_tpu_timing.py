@@ -27,6 +27,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 LOG_N = int(sys.argv[1]) if len(sys.argv) > 1 else 6
 
+from binius_tpu.utils import tracing
+tracing.install_compile_counter()
+
 from binius_tpu.constraint_system import prove as csp
 from binius_tpu.m3.builder.table import M3ConstraintSystem
 from binius_tpu.m3.builder.witness import WitnessIndex
@@ -70,3 +73,7 @@ for tag in ("first", "warm"):
     t0 = time.perf_counter()
     csp.verify(core, proof, log_inv_rate=1)
     print(f"verify[{tag}] {time.perf_counter()-t0:.1f}s", flush=True)
+
+cs = tracing.compile_stats()
+print(f"compile budget: {cs['count']} XLA compiles, {cs['secs']:.1f}s "
+      f"(cache hits excluded)", flush=True)

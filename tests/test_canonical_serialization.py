@@ -34,7 +34,8 @@ def test_byte_grammar_hand_vector():
         constraint_sets=(
             canon.SymbolicConstraintSet(
                 0, 0, (0, 1),
-                (canon.SymbolicConstraint("c", e, ("zero",)),)),
+                (canon.SymbolicConstraint("c", canon.circuit_steps(e),
+                                          ("zero",)),)),
         ),
         non_zero_oracle_ids=(1,),
         flushes=(
@@ -80,21 +81,41 @@ def test_byte_grammar_hand_vector():
     assert canon.deserialize(got) == sym
 
 
-def test_circuit_postorder_dedup():
-    # (x0 + x1) * (x0 + x1): the shared subtree must serialize once
+def test_circuit_arc_identity_emission():
+    """Arc-pointer dedup semantics (`arith_expr.rs:700-761`): a reused
+    subexpression (`let s = x0 + x1; s.clone() * s` in Rust) duplicates its
+    TOP node per use while the children Arcs minted at its construction are
+    shared — steps: Var0, Var1, Add(0,1), Add(0,1), Mul(2,3)."""
     s = ArithExpr.var(0) + ArithExpr.var(1)
     e = s * s
-    sym = canon.SymbolicOracle(None, 0, 0, 7, ("structured", e))
+    steps = canon.circuit_steps(e)
+    assert steps == (("var", 0), ("var", 1), ("add", 0, 1), ("add", 0, 1),
+                     ("mul", 2, 3))
+    sym = canon.SymbolicOracle(None, 0, 0, 7, ("structured", steps))
     w = canon._W()
     canon._w_oracle(w, sym, 0)
     raw = w.b.getvalue()
     # skip id(4) + None(1) + table_id/vpr/level(12) + variant tag(1)
     body = raw[18:]
     n_steps = struct.unpack("<I", body[:4])[0]
-    assert n_steps == 4  # var0, var1, add, mul(2,2)
+    assert n_steps == 5
     assert body[4:].startswith(
         b"\x04" + _u32(0) + b"\x04" + _u32(1) + b"\x00" + _u32(0) + _u32(1)
-        + b"\x01" + _u32(2) + _u32(2))
+        + b"\x00" + _u32(0) + _u32(1) + b"\x01" + _u32(2) + _u32(3))
+
+
+def test_circuit_separate_construction_no_dedup():
+    """Separately constructed equal subtrees must NOT dedup — the reference
+    only dedups on Arc identity. `(x+ci)*(y+ci)+ci` emits three Var(ci)
+    steps when every `ci` use mints a fresh Var (the Col-operand model)."""
+    def V(i):
+        return ArithExpr.var(i)
+    e = (V(0) + V(2)) * (V(1) + V(2)) + V(2)
+    steps = canon.circuit_steps(e)
+    assert steps == (
+        ("var", 0), ("var", 2), ("add", 0, 1),
+        ("var", 1), ("var", 2), ("add", 3, 4),
+        ("mul", 2, 5), ("var", 2), ("add", 6, 7))
 
 
 def test_m3_round_trip_and_size_independent_digest():

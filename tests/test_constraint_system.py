@@ -25,7 +25,7 @@ def build_u32_add(log_n_adds=2):
     y_id = oracles.add_committed(n, 0, "y")
     z_id = oracles.add_committed(n, 0, "z")
     cout_id = oracles.add_committed(n, 0, "cout")
-    cin_id = oracles.add_shifted(cout_id, 1, 5, shift_ind.LOGICAL_RIGHT, "cin")
+    cin_id = oracles.add_shifted(cout_id, 1, 5, shift_ind.LOGICAL_LEFT, "cin")
 
     X, Y, CIN, Z, COUT = (ArithExpr.var(i) for i in range(5))
     carry = (X + CIN) * (Y + CIN) + CIN + COUT
@@ -58,7 +58,7 @@ def build_u32_add(log_n_adds=2):
         cin_id: (0, tower.from_ints(0, cinb)),
     }
     # sanity: cin really is the shifted cout
-    assert cinb == shift_ind.apply_shift_ints(shift_ind.LOGICAL_RIGHT, 5, 1, coutb)
+    assert cinb == shift_ind.apply_shift_ints(shift_ind.LOGICAL_LEFT, 5, 1, coutb)
     return system, witness
 
 
