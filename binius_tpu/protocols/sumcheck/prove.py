@@ -272,6 +272,18 @@ class RegularSumcheckProver:
             self.mls = [(lvl, _pad_to(lvl, d, self.log_padded))
                         for lvl, d in multilinears]
         self._stack = None  # (m, padded, 4) after the first fold
+        if (_batch_round_kernels() and claim.n_vars > 0
+                and all(lvl == LEVEL for lvl, _ in self.mls)):
+            # All-B128 inputs (e.g. post-skip-fold stage-2 data of a merged
+            # partition claim): move to the stacked representation BEFORE
+            # the first round. The per-multilinear first-round kernel
+            # traces m slice/extrapolate subgraphs + an m-way stack per
+            # domain point — at reference-parity claim sizes (keccak: ~1200
+            # multilinears in ONE claim) that MLIR is ~600 KB and the
+            # remote TPU compile helper OOMs (SIGKILL). The stacked kernel
+            # is one gather + one shared network per composition structure.
+            self._stack = jnp.stack([d for _, d in self.mls], axis=0)
+            self.mls = None
         deg = claim.max_individual_degree()
         self.domain = EvaluationDomain.from_subspace(3, deg + 1)
         # Pre-compact each composition to the multilinears it actually uses;

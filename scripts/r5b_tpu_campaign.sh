@@ -18,7 +18,7 @@ run() {
 
 run k10_newlowering env BINIUS_TRACE_PHASES=2 \
     timeout 14400 python scripts/keccak_tpu_timing.py 10
-run k13_newlowering timeout 21600 python scripts/keccak_tpu_timing.py 13
+run k13_newlowering timeout 10800 python scripts/keccak_tpu_timing.py 13
 run u32_add_2e22 timeout 10800 python examples/u32_add.py --log-n-adds 22 --repeat 2
 run b32_mul_2e20 timeout 10800 python examples/b32_mul.py --log-n-muls 20 --repeat 2
 run groestl_2e14 timeout 14400 python examples/groestl.py --log-n-permutations 14 --repeat 2
