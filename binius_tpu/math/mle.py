@@ -146,15 +146,52 @@ def _pad_stack_pow2(stack):
     return jnp.pad(stack, pad), k
 
 
+#: Max B128-equivalent elements materialized per projection dispatch
+#: (k * 2^n_vars): the kernel broadcasts a (k, 2^kh, 2^keep, 4) product, so
+#: one unchunked dispatch at u32_add-2^22 scale (k=2, 2^27 bits) compiled to
+#: a 20 GB HBM program on a 15.75 GB chip. Chunking over the REDUCED high
+#: axis is exact (the weighted sum splits); 2^24 elems = 256 MB per product.
+_PROJ_CHUNK_ELEMS = 1 << 24
+
+
 def batched_evaluate_partial_high(level: int, stack, n_vars: int, eq, keep: int,
                                   spmd: bool = False):
     """Bind the high n_vars-keep variables of k stacked multilinears to a
     B128 query given as its eq expansion; see `_batched_partial_high_data`.
 
     level may be `tower.P1` (bit-packed B1 words): the stack stays packed
-    across HBM and unpacks inside the kernel (fused — only the words cross)."""
+    across HBM and unpacks inside the kernel (fused — only the words cross).
+
+    Large operands are streamed in high-axis chunks with XOR accumulation
+    (out[m, i] = sum_j eq[j] * stack[m, (j << keep) | i] splits over j)."""
     stack, k = _pad_stack_pow2(stack)
     eq, spmd = _mesh_align(stack, eq, spmd)
+    k_pad = stack.shape[0]
+    kh = n_vars - keep
+    total = k_pad << n_vars
+    if total > _PROJ_CHUNK_ELEMS and not spmd:
+        chunk_kh = max(0, (_PROJ_CHUNK_ELEMS // max(k_pad << keep, 1))
+                       .bit_length() - 1)
+        # packed-B1 slices must cut at 32-bit word boundaries
+        while level == tower.P1 and (1 << (chunk_kh + keep)) % 32 != 0:
+            chunk_kh += 1
+        if chunk_kh < kh:
+            sub_n = chunk_kh + keep
+            acc = None
+            for j0 in range(0, 1 << kh, 1 << chunk_kh):
+                if level == tower.P1:
+                    sub = stack[:, (j0 << keep) // 32:
+                                ((j0 + (1 << chunk_kh)) << keep) // 32]
+                    part = _batched_partial_high_p1(
+                        sub, sub_n, eq[j0:j0 + (1 << chunk_kh)], keep, spmd)
+                else:
+                    sl = (slice(None), slice(j0 << keep,
+                                             (j0 + (1 << chunk_kh)) << keep))
+                    part = _batched_partial_high_data(
+                        level, stack[sl], sub_n,
+                        eq[j0:j0 + (1 << chunk_kh)], keep, spmd)
+                acc = part if acc is None else acc ^ part
+            return 7, acc[:k]
     if level == tower.P1:
         return 7, _batched_partial_high_p1(stack, n_vars, eq, keep, spmd)[:k]
     return 7, _batched_partial_high_data(level, stack, n_vars, eq, keep, spmd)[:k]
@@ -200,9 +237,34 @@ def batched_evaluate_partial_low(level: int, stack, n_vars: int, coeffs, bind: i
     """Bind the low `bind` variables of k stacked multilinears with a B128
     coefficient vector (eq expansion or Lagrange coefficients).
 
-    level may be `tower.P1` (bit-packed B1 words; unpacked inside the jit)."""
+    level may be `tower.P1` (bit-packed B1 words; unpacked inside the jit).
+    Large operands stream in chunks over the KEPT high axis (independent
+    output rows, concatenated) so the broadcast product fits HBM."""
     stack, k = _pad_stack_pow2(stack)
     coeffs, spmd = _mesh_align(stack, coeffs, spmd)
+    k_pad = stack.shape[0]
+    kh = n_vars - bind
+    total = k_pad << n_vars
+    if total > _PROJ_CHUNK_ELEMS and not spmd:
+        chunk_kh = max(0, (_PROJ_CHUNK_ELEMS // max(k_pad << bind, 1))
+                       .bit_length() - 1)
+        while level == tower.P1 and (1 << (chunk_kh + bind)) % 32 != 0:
+            chunk_kh += 1
+        if chunk_kh < kh:
+            sub_n = chunk_kh + bind
+            outs = []
+            for j0 in range(0, 1 << kh, 1 << chunk_kh):
+                if level == tower.P1:
+                    sub = stack[:, (j0 << bind) // 32:
+                                ((j0 + (1 << chunk_kh)) << bind) // 32]
+                    outs.append(_batched_partial_low_p1(
+                        sub, sub_n, coeffs, bind, spmd))
+                else:
+                    sl = (slice(None), slice(j0 << bind,
+                                             (j0 + (1 << chunk_kh)) << bind))
+                    outs.append(_batched_partial_low_data(
+                        level, stack[sl], sub_n, coeffs, bind, spmd))
+            return 7, jnp.concatenate(outs, axis=1)[:k]
     if level == tower.P1:
         return 7, _batched_partial_low_p1(stack, n_vars, coeffs, bind, spmd)[:k]
     return 7, _batched_partial_low_data(level, stack, n_vars, coeffs, bind, spmd)[:k]

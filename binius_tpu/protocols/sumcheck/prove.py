@@ -595,6 +595,28 @@ def _biv_round_values_jit(log_padded: int, order_high: bool, stack, idx_a, idx_b
     return jnp.concatenate(rows, axis=0)
 
 
+@functools.partial(jax.jit, static_argnums=(4,))
+def _biv_round_chunk_jit(e0, e1, idx_a, idx_b, spmd: bool = False):
+    """One element-axis chunk of the bivariate round values (streamed path):
+    e0/e1 (m, chunk, 4) active slices — no masking needed, the caller slices
+    exactly the active region. Returns (3 * n_comps, 4) XOR partials."""
+    two = tower.full(LEVEL, (), 2)
+    rows = []
+    for which in range(3):
+        e = e0 if which == 0 else (
+            e1 if which == 1 else fold.extrapolate_line(LEVEL, e0, e1, two))
+        a = jnp.take(e, idx_a, axis=0)
+        b = jnp.take(e, idx_b, axis=0)
+        prod = tower.mul(LEVEL, a, b)
+        rows.append(tower.xor_reduce(prod, axis=1, spmd=spmd))
+    return jnp.concatenate(rows, axis=0)
+
+
+@jax.jit
+def _biv_fold_chunk_jit(e0, e1, r):
+    return fold.extrapolate_line(LEVEL, e0, e1, r)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def _biv_fold_jit(log_padded: int, order_high: bool, stack, r, active):
     half = 1 << (log_padded - 1)
@@ -667,14 +689,36 @@ class BivariateSumcheckProver:
     def n_vars(self) -> int:
         return self.claim.n_vars
 
+    #: element-axis chunk for the streamed big-operand path: the B128
+    #: Karatsuba mul materializes ~27 base-product lanes per element, so an
+    #: unchunked round at piop-2^22 scale compiled a 34 GB HBM program
+    #: (u32_add 2^22 campaign failure). 2^20 elems/chunk ~ a few hundred MB.
+    _CHUNK = 1 << 20
+
     def compute_round_polys(self) -> list[list[int]]:
         if not len(self.idx_a):
             return []
-        active = jnp.uint32(1 << self.n_remaining)
-        vals = _biv_round_values_jit(self.log_padded, self.order_high, self.stack,
-                                     self.idx_a, self.idx_b, active, self.spmd)
         n_c = len(self.claim.composite_sums)
-        flat3 = np.asarray(jax.device_get(vals)).reshape(3, n_c, 4)
+        act_half = (1 << self.n_remaining) >> 1
+        if (self.order_high and not self.spmd and act_half > self._CHUNK):
+            # streamed: slice the active halves into chunks, accumulate the
+            # per-chunk XOR partials (exact — the hypercube sum splits)
+            acc = None
+            for j0 in range(0, act_half, self._CHUNK):
+                e0 = jax.lax.slice_in_dim(self.stack, j0, j0 + self._CHUNK,
+                                          axis=1)
+                e1 = jax.lax.slice_in_dim(self.stack, act_half + j0,
+                                          act_half + j0 + self._CHUNK, axis=1)
+                part = _biv_round_chunk_jit(e0, e1, self.idx_a, self.idx_b,
+                                            self.spmd)
+                acc = part if acc is None else acc ^ part
+            flat3 = np.asarray(jax.device_get(acc)).reshape(3, n_c, 4)
+        else:
+            active = jnp.uint32(1 << self.n_remaining)
+            vals = _biv_round_values_jit(self.log_padded, self.order_high,
+                                         self.stack, self.idx_a, self.idx_b,
+                                         active, self.spmd)
+            flat3 = np.asarray(jax.device_get(vals)).reshape(3, n_c, 4)
         out = []
         for ci in range(n_c):
             values = [int(sum(int(x) << (32 * k) for k, x in enumerate(flat3[p, ci])))
@@ -686,6 +730,25 @@ class BivariateSumcheckProver:
         ch = tower.from_ints(LEVEL, [challenge])[0]
         if self.spmd:
             ch = mesh_mod.put_replicated(self.mesh, ch)
+        act_half = (1 << self.n_remaining) >> 1
+        if self.order_high and not self.spmd and act_half > self._CHUNK:
+            outs = []
+            for j0 in range(0, act_half, self._CHUNK):
+                e0 = jax.lax.slice_in_dim(self.stack, j0, j0 + self._CHUNK,
+                                          axis=1)
+                e1 = jax.lax.slice_in_dim(self.stack, act_half + j0,
+                                          act_half + j0 + self._CHUNK, axis=1)
+                outs.append(_biv_fold_chunk_jit(e0, e1, ch))
+            self.n_remaining -= 1
+            target = max(_bucket_log(self.n_remaining), 0)
+            folded = jnp.concatenate(outs, axis=1)
+            if (1 << target) > folded.shape[1]:
+                folded = jnp.pad(folded, ((0, 0),
+                                          (0, (1 << target) - folded.shape[1]),
+                                          (0, 0)))
+            self.stack = folded
+            self.log_padded = target
+            return
         active = jnp.uint32(1 << self.n_remaining)
         self.stack = _biv_fold_jit(self.log_padded, self.order_high, self.stack,
                                    ch, active)

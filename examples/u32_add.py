@@ -35,6 +35,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--log-n-adds", type=int, default=5)
     ap.add_argument("--log-inv-rate", type=int, default=1)
+    ap.add_argument("--validate", action="store_true",
+                    help="run the full witness semantic check before proving"
+                         " (debug; host-materializes every column — skipped"
+                         " by default above 2^16 rows where the fetch can"
+                         " exhaust device memory)")
     ap.add_argument("--repeat", type=int, default=1,
                     help="prove this many FRESH witnesses (run 1 pays compile"
                          "/cache loads; later runs are the honest warm number"
@@ -75,7 +80,8 @@ def main():
     t1 = time.perf_counter()
     print(f"trace-gen-time: {(t1 - t0) * 1e3:.1f} ms")
 
-    validate_witness(core, witness)
+    if args.validate or (1 << args.log_n_adds) <= (1 << 16):
+        validate_witness(core, witness)
     for i in range(args.repeat):
         if i > 0:
             witness = make_witness(i)
