@@ -689,26 +689,39 @@ class BivariateSumcheckProver:
     def n_vars(self) -> int:
         return self.claim.n_vars
 
-    #: element-axis chunk for the streamed big-operand path: the B128
-    #: Karatsuba mul materializes ~27 base-product lanes per element, so an
-    #: unchunked round at piop-2^22 scale compiled a 34 GB HBM program
-    #: (u32_add 2^22 campaign failure). 2^20 elems/chunk ~ a few hundred MB.
-    _CHUNK = 1 << 20
+    #: composition-element budget for the streamed big-operand path: the
+    #: B128 Karatsuba mul materializes ~27 base-product lanes (~432 B) per
+    #: (composition, element) pair, so an unchunked round at piop-2^22
+    #: scale compiled a 34 GB HBM program, and a fixed element chunk still
+    #: blew 17 GB when ring-switch contributed hundreds of product claims
+    #: in one group (u32_add 2^22 campaign failures). Budget ~2^22 pairs
+    #: (~1.8 GB of mul temps) per dispatch. The gate watches the PADDED
+    #: buffer (what the compiled program sizes to), not the active prefix.
+    _CHUNK_PAIRS = 1 << 22
+
+    def _chunk_elems(self, rows: int = None) -> int:
+        """Element chunk keeping rows x elems mul temps inside the budget;
+        rows defaults to the composition count (round kernel); fold passes
+        the multilinear count."""
+        n = max(rows if rows is not None else len(self.claim.composite_sums), 1)
+        c = self._CHUNK_PAIRS // n
+        return 1 << max(10, c.bit_length() - 1)
 
     def compute_round_polys(self) -> list[list[int]]:
         if not len(self.idx_a):
             return []
         n_c = len(self.claim.composite_sums)
         act_half = (1 << self.n_remaining) >> 1
-        if (self.order_high and not self.spmd and act_half > self._CHUNK):
+        if (self.order_high and not self.spmd and self.log_padded
+                and (1 << (self.log_padded - 1)) > self._chunk_elems()):
             # streamed: slice the active halves into chunks, accumulate the
             # per-chunk XOR partials (exact — the hypercube sum splits)
+            chunk = min(self._chunk_elems(), act_half)
             acc = None
-            for j0 in range(0, act_half, self._CHUNK):
-                e0 = jax.lax.slice_in_dim(self.stack, j0, j0 + self._CHUNK,
-                                          axis=1)
+            for j0 in range(0, act_half, chunk):
+                e0 = jax.lax.slice_in_dim(self.stack, j0, j0 + chunk, axis=1)
                 e1 = jax.lax.slice_in_dim(self.stack, act_half + j0,
-                                          act_half + j0 + self._CHUNK, axis=1)
+                                          act_half + j0 + chunk, axis=1)
                 part = _biv_round_chunk_jit(e0, e1, self.idx_a, self.idx_b,
                                             self.spmd)
                 acc = part if acc is None else acc ^ part
@@ -731,13 +744,15 @@ class BivariateSumcheckProver:
         if self.spmd:
             ch = mesh_mod.put_replicated(self.mesh, ch)
         act_half = (1 << self.n_remaining) >> 1
-        if self.order_high and not self.spmd and act_half > self._CHUNK:
+        fold_chunk = self._chunk_elems(rows=self.stack.shape[0])
+        if (self.order_high and not self.spmd and self.log_padded
+                and (1 << (self.log_padded - 1)) > fold_chunk):
+            chunk = min(fold_chunk, act_half)
             outs = []
-            for j0 in range(0, act_half, self._CHUNK):
-                e0 = jax.lax.slice_in_dim(self.stack, j0, j0 + self._CHUNK,
-                                          axis=1)
+            for j0 in range(0, act_half, chunk):
+                e0 = jax.lax.slice_in_dim(self.stack, j0, j0 + chunk, axis=1)
                 e1 = jax.lax.slice_in_dim(self.stack, act_half + j0,
-                                          act_half + j0 + self._CHUNK, axis=1)
+                                          act_half + j0 + chunk, axis=1)
                 outs.append(_biv_fold_chunk_jit(e0, e1, ch))
             self.n_remaining -= 1
             target = max(_bucket_log(self.n_remaining), 0)
