@@ -712,11 +712,14 @@ class BivariateSumcheckProver:
             return []
         n_c = len(self.claim.composite_sums)
         act_half = (1 << self.n_remaining) >> 1
+        # temps scale with BOTH the composition products (n_c rows) and the
+        # X=2 extrapolation over all m multilinears — budget on the larger
+        rows = max(n_c, self.stack.shape[0])
         if (self.order_high and not self.spmd and self.log_padded
-                and (1 << (self.log_padded - 1)) > self._chunk_elems()):
+                and (1 << (self.log_padded - 1)) > self._chunk_elems(rows)):
             # streamed: slice the active halves into chunks, accumulate the
             # per-chunk XOR partials (exact — the hypercube sum splits)
-            chunk = min(self._chunk_elems(), act_half)
+            chunk = min(self._chunk_elems(rows), act_half)
             acc = None
             for j0 in range(0, act_half, chunk):
                 e0 = jax.lax.slice_in_dim(self.stack, j0, j0 + chunk, axis=1)
