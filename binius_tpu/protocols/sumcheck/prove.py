@@ -595,26 +595,41 @@ def _biv_round_values_jit(log_padded: int, order_high: bool, stack, idx_a, idx_b
     return jnp.concatenate(rows, axis=0)
 
 
+def _mul3d(a, b):
+    """(r, c, 4) x (r, c, 4) B128 mul through the 2-D fast path: flattened
+    operands qualify for the fused bitsliced Pallas kernel (VMEM-resident
+    gate network). With the 3-D shape, `tower.mul` fell back to the packed
+    collect path whose HLO temps cost ~7 KB per element — a 2^18-element
+    chunk kernel still compiled to a 17 GB program (u32_add 2^22)."""
+    r, c, _ = a.shape
+    return tower.mul(LEVEL, a.reshape(r * c, 4), b.reshape(r * c, 4)) \
+        .reshape(r, c, 4)
+
+
 @functools.partial(jax.jit, static_argnums=(4,))
 def _biv_round_chunk_jit(e0, e1, idx_a, idx_b, spmd: bool = False):
     """One element-axis chunk of the bivariate round values (streamed path):
     e0/e1 (m, chunk, 4) active slices — no masking needed, the caller slices
     exactly the active region. Returns (3 * n_comps, 4) XOR partials."""
-    two = tower.full(LEVEL, (), 2)
+    m, c, _ = e0.shape
+    two = jnp.broadcast_to(tower.full(LEVEL, (), 2), (m * c, 4))
+    diff = (e0 ^ e1).reshape(m * c, 4)
+    e2 = (e0.reshape(m * c, 4) ^ tower.mul(LEVEL, diff, two)).reshape(m, c, 4)
     rows = []
-    for which in range(3):
-        e = e0 if which == 0 else (
-            e1 if which == 1 else fold.extrapolate_line(LEVEL, e0, e1, two))
+    for e in (e0, e1, e2):
         a = jnp.take(e, idx_a, axis=0)
         b = jnp.take(e, idx_b, axis=0)
-        prod = tower.mul(LEVEL, a, b)
+        prod = _mul3d(a, b)
         rows.append(tower.xor_reduce(prod, axis=1, spmd=spmd))
     return jnp.concatenate(rows, axis=0)
 
 
 @jax.jit
 def _biv_fold_chunk_jit(e0, e1, r):
-    return fold.extrapolate_line(LEVEL, e0, e1, r)
+    m, c, _ = e0.shape
+    rr = jnp.broadcast_to(r, (m * c, 4))
+    diff = (e0 ^ e1).reshape(m * c, 4)
+    return (e0.reshape(m * c, 4) ^ tower.mul(LEVEL, diff, rr)).reshape(m, c, 4)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
